@@ -1,0 +1,96 @@
+"""Loss oracles from the reference test suite
+(testcases_vision_transformer_detector.py:738-926) plus masked-shape
+regression checks that the reference cannot express (zero positives under
+jit, gradient finiteness)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_transformer_detector_tpu.config import DetectorConfig, LossConfig
+from vision_transformer_detector_tpu.ops.loss import detection_loss
+
+CONFIG = DetectorConfig()
+SHAPE = (10, 6)
+
+
+def make_labels() -> np.ndarray:
+    """Two images, one positive box (testcases:766-781)."""
+    y_true = np.ones((2, *SHAPE), np.float32) * -8.0
+    y_true[..., 0] = 0.0
+    y_true[0, 0] = (1, 79, 9, 9, 10, 10)
+    return y_true
+
+
+def loss_value(y_true, y_pred) -> float:
+    return float(detection_loss(
+        jnp.asarray(y_true), jnp.asarray(y_pred), CONFIG,
+        use_transform_predictions=False))
+
+
+def test_zero_loss():
+    """Identical label/prediction -> loss 0 (testcases:760-797)."""
+    y_true = make_labels()
+    assert loss_value(y_true, y_true.copy()) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_objectness_loss():
+    """Perturbed objectness -> loss > 0 (testcases:799-840)."""
+    y_true = make_labels()
+    y_pred = y_true.copy()
+    y_pred[0, 0, 0] = 0.98
+    assert loss_value(y_true, y_pred) > 0.0
+
+
+def test_classification_loss():
+    """Perturbed class float -> loss > 0 (testcases:842-883)."""
+    y_true = make_labels()
+    y_pred = y_true.copy()
+    y_pred[0, 0, 1] = 79.2
+    assert loss_value(y_true, y_pred) > 0.0
+
+
+def test_ciou_loss():
+    """Perturbed box -> loss > 0 (testcases:885-926)."""
+    y_true = make_labels()
+    y_pred = y_true.copy()
+    y_pred[0, 0, -4:] = (9, 9, 9.8, 9.8)
+    assert loss_value(y_true, y_pred) > 0.0
+
+
+def test_zero_positives_no_nan():
+    """With no positive slots the class/CIoU terms must be exactly 0
+    (vtd.py:1249-1251) and the loss finite, even under jit."""
+    y_true = np.ones((2, *SHAPE), np.float32) * -8.0
+    y_true[..., 0] = 0.0
+    y_pred = np.zeros((2, *SHAPE), np.float32)  # raw logits
+    loss = jax.jit(
+        lambda t, p: detection_loss(t, p, CONFIG)
+    )(jnp.asarray(y_true), jnp.asarray(y_pred))
+    assert np.isfinite(float(loss))
+
+
+def test_gradients_finite():
+    """Gradients through decode + masked terms stay finite."""
+    y_true = jnp.asarray(make_labels())
+    y_pred = jnp.zeros((2, *SHAPE), jnp.float32)
+
+    grads = jax.grad(
+        lambda p: detection_loss(y_true, p, CONFIG))(y_pred)
+    assert bool(jnp.all(jnp.isfinite(grads)))
+
+
+def test_loss_weights_scale_terms():
+    """Class and CIoU weights scale their terms linearly."""
+    y_true = make_labels()
+    y_pred = y_true.copy()
+    y_pred[0, 0, 1] = 79.2
+
+    base = LossConfig(weight_classification=1.0, weight_ciou=0.0)
+    double = LossConfig(weight_classification=2.0, weight_ciou=0.0)
+    l1 = float(detection_loss(y_true, y_pred, CONFIG, base,
+                              use_transform_predictions=False))
+    l2 = float(detection_loss(y_true, y_pred, CONFIG, double,
+                              use_transform_predictions=False))
+    assert l2 == pytest.approx(2 * l1, rel=1e-6)

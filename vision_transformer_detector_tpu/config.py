@@ -1,0 +1,224 @@
+"""Typed configuration for the TPU-native ViT detector framework.
+
+Replaces the reference's scattered configuration surface — the ``Constants``
+Enum (vision_transformer_detector.py:19-43), the keyword defaults on
+``create_vision_transformer_detector`` (vision_transformer_detector.py:498-506)
+and the notebook variables (ipynb cell 7) — with one frozen dataclass that can
+be hashed (so it can be a static argument under ``jax.jit``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+# Numeric guard used by the reference everywhere a division may hit zero
+# (vision_transformer_detector.py:24).
+EPSILON: float = 1e-8
+
+# Value used to fill empty label/prediction slots. The reference writes -8
+# into class id and box coordinates of empty slots
+# (vision_transformer_utilities.py:497-505) and relies on it in the loss and
+# metric (e.g. vision_transformer_detector.py:1351, 1466-1475).
+EMPTY_SLOT_VALUE: float = -8.0
+
+# Metric thresholds (vision_transformer_detector.py:40-43).
+OBJECTNESS_THRESHOLD: float = 0.5
+CLASSIFICATION_CONFIDENCE_THRESHOLD: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """All hyperparameters of the ViT detector.
+
+    Defaults reproduce the reference's measured configuration
+    (vision_transformer_detector.py:498-506 and ipynb cell 7).
+    """
+
+    # --- task shape -------------------------------------------------------
+    image_size: Tuple[int, int] = (608, 608)  # (height, width)
+    num_classes: int = 80
+    max_objects: int = 17  # MAX_DETECT_OBJECTS_QUANTITY (vtd.py:28)
+
+    # --- backbone ---------------------------------------------------------
+    patch_size: int = 17
+    embedding_dim: int = 28
+    num_heads: int = 8
+    key_dim: int = 40            # per-head dim of the attention projections
+    dropout: Optional[float] = None
+    encoder_mlp_layers: int = 8  # layers in each block's descending pyramid
+    encoder_blocks: int = 8
+
+    # --- detection head ----------------------------------------------------
+    head_last_units: int = 136
+    head_layers: int = 7
+    head_block_repeats: int = 1
+
+    # --- activations / regularisation --------------------------------------
+    use_mish: bool = True
+    max_weight: float = 10.0      # ClipWeight bound (vtd.py:209-236)
+    clip_weight: bool = True
+
+    # --- TPU execution policy ----------------------------------------------
+    # Matmul/activation dtype. Box geometry, loss reductions and metric math
+    # always stay in float32 (the reference documents fp16 overflow hazards at
+    # vtd.py:53-55 and 862-864; bf16 shares fp32's exponent so activations are
+    # safe, but accumulation precision still matters).
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    param_dtype: str = "float32"
+    use_flash_attention: bool = False  # Pallas flash-attention kernel
+    use_fused_ffn: bool = False        # Pallas fused dense+mish kernel
+    remat_encoder: bool = False        # jax.checkpoint each encoder block
+    # Windowed attention for the high-res variant (BASELINE configs[4]).
+    attention_window: Optional[int] = None  # window size in patch rows/cols
+
+    # --- metric state sizes (vtd.py:30-37) ----------------------------------
+    latest_related_images: int = 3
+    bboxes_per_image: int = 14
+
+    # ----------------------------------------------------------------------
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        """Patch grid (rows, cols) with SAME padding: ceil(size / patch)."""
+        return (
+            math.ceil(self.image_size[0] / self.patch_size),
+            math.ceil(self.image_size[1] / self.patch_size),
+        )
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid_size
+        return gh * gw
+
+    @property
+    def patch_dim(self) -> int:
+        return self.patch_size * self.patch_size * 3
+
+    @property
+    def encoder_mlp_units(self) -> Tuple[int, ...]:
+        """Descending per-block MLP widths D*2^(m-1) .. D (vtd.py:384-386)."""
+        d = self.embedding_dim
+        return tuple(d * 2 ** k
+                     for k in range(self.encoder_mlp_layers - 1, -1, -1))
+
+    @property
+    def head_units(self) -> Tuple[int, ...]:
+        """Descending head widths last*2^(L-1) .. last (vtd.py:465-468)."""
+        u = self.head_last_units
+        return tuple(u * 2 ** k for k in range(self.head_layers - 1, -1, -1))
+
+    def replace(self, **kw) -> "DetectorConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Hyperparameters of the composite loss (vtd.py:1122-1265).
+
+    Defaults are the notebook's measured values (ipynb cell 7):
+    coefficient 9, exponent 2, weight_classification 0.0074, weight_ciou 4.5.
+    The function-signature defaults of the reference (4 / 2 / 0.0074 / 10,
+    vtd.py:1122-1124) can be selected explicitly.
+    """
+
+    focal_binary_loss: bool = True
+    focal_gamma: float = 2.0
+    coefficient: float = 9.0
+    exponent: float = 2.0
+    weight_classification: float = 0.0074
+    weight_ciou: float = 4.5
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimisation settings (ipynb cell 7)."""
+
+    learning_rate: float = 8e-5
+    clip_gradient_value: float = 10.0  # Adam(clipvalue=10)
+    batch_size: int = 8
+    epochs: int = 12_502
+    # Step LR decay (vtd.py:696-728): cumulative epoch boundaries, x0.1 each.
+    epochs_first_lr_decay: int = 1_000
+    epochs_second_lr_decay: int = 9_000
+    epochs_third_lr_decay: int = 1_000
+    rate_lr_decay: float = 0.1
+    allowed_decay_times: int = 3
+    # Eval cadence mirroring SaveModelHighestAP (vtd.py:2063-2184).
+    epochs_warm_up: int = 500
+    skip_epochs: int = 500
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Preset configurations, one per BASELINE.json config entry.
+# ---------------------------------------------------------------------------
+
+def reference_608() -> DetectorConfig:
+    """The reference's measured configuration (ipynb cell 7)."""
+    return DetectorConfig()
+
+
+def reference_224() -> DetectorConfig:
+    """BASELINE configs[0]: the reference detector at 224px."""
+    return DetectorConfig(image_size=(224, 224))
+
+
+def vit_s16_224() -> DetectorConfig:
+    """BASELINE configs[1]: ViT-S/16 detector, 224px, MXU-aligned dims."""
+    return DetectorConfig(
+        image_size=(224, 224), patch_size=16, embedding_dim=384,
+        num_heads=6, key_dim=64, encoder_blocks=12, encoder_mlp_layers=2,
+        head_last_units=256, head_layers=3,
+        compute_dtype="bfloat16", use_flash_attention=True,
+    )
+
+
+def vit_b16_384() -> DetectorConfig:
+    """BASELINE configs[2]: ViT-B/16 detector, 384px."""
+    return DetectorConfig(
+        image_size=(384, 384), patch_size=16, embedding_dim=768,
+        num_heads=12, key_dim=64, encoder_blocks=12, encoder_mlp_layers=2,
+        head_last_units=512, head_layers=3,
+        compute_dtype="bfloat16", use_flash_attention=True,
+    )
+
+
+def vit_l16_640() -> DetectorConfig:
+    """BASELINE configs[3]: ViT-L/16 detector, 640px, bf16 flash attention."""
+    return DetectorConfig(
+        image_size=(640, 640), patch_size=16, embedding_dim=1024,
+        num_heads=16, key_dim=64, encoder_blocks=24, encoder_mlp_layers=2,
+        head_last_units=512, head_layers=3,
+        compute_dtype="bfloat16", use_flash_attention=True,
+        remat_encoder=True,
+    )
+
+
+def highres_1024() -> DetectorConfig:
+    """BASELINE configs[4]: 1024px windowed-attention variant."""
+    return DetectorConfig(
+        image_size=(1024, 1024), patch_size=16, embedding_dim=1024,
+        num_heads=16, key_dim=64, encoder_blocks=24, encoder_mlp_layers=2,
+        head_last_units=512, head_layers=3,
+        compute_dtype="bfloat16", use_flash_attention=True,
+        remat_encoder=True, attention_window=16,
+    )
+
+
+PRESETS = {
+    "reference_608": reference_608,
+    "reference_224": reference_224,
+    "vit_s16_224": vit_s16_224,
+    "vit_b16_384": vit_b16_384,
+    "vit_l16_640": vit_l16_640,
+    "highres_1024": highres_1024,
+}
+
+
+def get_config(name: str) -> DetectorConfig:
+    try:
+        return PRESETS[name]()
+    except KeyError:
+        raise KeyError(
+            f"Unknown preset {name!r}; available: {sorted(PRESETS)}") from None

@@ -1,0 +1,341 @@
+"""Pure-functional ViT detector: patchify -> encoder -> detection head.
+
+TPU-first re-design of the reference model
+(vision_transformer_detector.py:239-583):
+  * patch extraction is a pad+reshape+transpose (no gather), reproducing
+    ``tf.image.extract_patches`` with ``padding='SAME'`` including the
+    zero-padded last row/column when the image size is not a multiple of the
+    patch size (vtd.py:189-199; 608 = 17*35 + 13),
+  * the learned positional embedding keeps the reference's embedding_dim=1
+    broadcast quirk (vtd.py:291-293) as a plain ``(P, 1)`` parameter,
+  * the encoder is pre-LN MHA + a descending dense "pyramid" with mish
+    (vtd.py:312-414); attention can route through the Pallas flash-attention
+    kernel (kernels/flash_attention.py) and supports local windowing for the
+    high-res variant,
+  * the head is Dense-over-tokens + reshape + descending pyramid + Dense(6)
+    with no sigmoid (vtd.py:417-495) — decode happens outside the model
+    (ops/decode.py), preserving the reference's raw-logits contract.
+
+Parameters live in a plain nested dict (pytree), so sharding rules,
+checkpoint conversion and optax transforms stay transparent. Matmuls run in
+``config.compute_dtype`` (bf16 on TPU) with float32 accumulation
+(``preferred_element_type``); layer norms and softmax statistics stay fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DetectorConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialisers (matching keras defaults so training dynamics carry over)
+# ---------------------------------------------------------------------------
+
+def _glorot_uniform(rng, shape, fan_in, fan_out, dtype):
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, dtype, -limit, limit)
+
+
+def _dense_init(rng, in_dim, out_dim, dtype):
+    kernel = _glorot_uniform(rng, (in_dim, out_dim), in_dim, out_dim, dtype)
+    return {"kernel": kernel, "bias": jnp.zeros((out_dim,), dtype)}
+
+
+def _layer_norm_init(dim, dtype):
+    return {"gamma": jnp.ones((dim,), dtype), "beta": jnp.zeros((dim,), dtype)}
+
+
+def _mha_init(rng, embed_dim, num_heads, key_dim, dtype):
+    """keras.layers.MultiHeadAttention parameter layout (vtd.py:364-369):
+    per-head q/k/v projections D->(H,K) and output projection (H,K)->D."""
+    rngs = jax.random.split(rng, 4)
+    def proj(r):
+        kernel = _glorot_uniform(
+            r, (embed_dim, num_heads, key_dim), embed_dim,
+            num_heads * key_dim, dtype)
+        return {"kernel": kernel,
+                "bias": jnp.zeros((num_heads, key_dim), dtype)}
+    out_kernel = _glorot_uniform(
+        rngs[3], (num_heads, key_dim, embed_dim), num_heads * key_dim,
+        embed_dim, dtype)
+    return {
+        "query": proj(rngs[0]),
+        "key": proj(rngs[1]),
+        "value": proj(rngs[2]),
+        "out": {"kernel": out_kernel, "bias": jnp.zeros((embed_dim,), dtype)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, config: DetectorConfig) -> Params:
+    """Build the full parameter pytree for ``forward``."""
+    dtype = jnp.dtype(config.param_dtype)
+    keys = iter(jax.random.split(rng, 16 + 8 * config.encoder_blocks
+                                 + 4 * len(config.head_units)))
+
+    params: Params = {}
+
+    # --- preprocessor (vtd.py:239-309) -------------------------------------
+    params["linear_projection"] = _dense_init(
+        next(keys), config.patch_dim, config.embedding_dim, dtype)
+    # Reference: keras Embedding default uniform(-0.05, 0.05) (vtd.py:148-151)
+    params["position_embedding"] = jax.random.uniform(
+        next(keys), (config.num_patches, 1), dtype, -0.05, 0.05)
+
+    # --- encoder blocks (vtd.py:312-414) ------------------------------------
+    blocks = []
+    d = config.embedding_dim
+    for _ in range(config.encoder_blocks):
+        block = {
+            "ln1": _layer_norm_init(d, dtype),
+            "mha": _mha_init(next(keys), d, config.num_heads,
+                             config.key_dim, dtype),
+            "ln2": _layer_norm_init(d, dtype),
+            "mlp": [],
+        }
+        in_dim = d
+        for units in config.encoder_mlp_units:
+            block["mlp"].append(_dense_init(next(keys), in_dim, units, dtype))
+            in_dim = units
+        blocks.append(block)
+    params["encoder"] = blocks
+
+    # --- head (vtd.py:417-495) ----------------------------------------------
+    params["head_token_dense"] = _dense_init(
+        next(keys), d, config.max_objects, dtype)
+    head_mlp = []
+    in_dim = config.num_patches
+    for units in config.head_units:
+        for _ in range(config.head_block_repeats):
+            head_mlp.append(_dense_init(next(keys), in_dim, units, dtype))
+            in_dim = units
+    params["head_mlp"] = head_mlp
+    params["head_output"] = _dense_init(next(keys), in_dim, 6, dtype)
+
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward building blocks
+# ---------------------------------------------------------------------------
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    """x * tanh(softplus(x)) (tfa.activations.mish; vtd.py:119-129)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def extract_patches(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """SAME-padded non-overlapping patchify (vtd.py:177-206).
+
+    ``(B, H, W, 3) -> (B, ceil(H/p)*ceil(W/p), p*p*3)`` with the patch
+    flattened row-major over (row, col, channel), exactly like
+    ``tf.image.extract_patches`` followed by the reference's Reshape
+    (vtd.py:276-280). SAME padding splits the remainder with the smaller
+    half before (TF convention).
+    """
+    b, h, w, c = images.shape
+    p = patch_size
+    gh, gw = -(-h // p), -(-w // p)
+    pad_h, pad_w = gh * p - h, gw * p - w
+    if pad_h or pad_w:
+        images = jnp.pad(images, (
+            (0, 0),
+            (pad_h // 2, pad_h - pad_h // 2),
+            (pad_w // 2, pad_w - pad_w // 2),
+            (0, 0)))
+    patches = images.reshape(b, gh, p, gw, p, c)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5)
+    return patches.reshape(b, gh * gw, p * p * c)
+
+
+def _dense(x, layer, compute_dtype):
+    kernel = layer["kernel"].astype(compute_dtype)
+    y = jnp.dot(x.astype(compute_dtype), kernel,
+                preferred_element_type=jnp.float32)
+    return (y + layer["bias"].astype(jnp.float32)).astype(compute_dtype)
+
+
+def _layer_norm(x, layer, eps: float = 1e-3):
+    """LayerNormalization over the last axis in fp32.
+
+    keras LayerNormalization default epsilon is 1e-3 (vtd.py:353-357 uses
+    the default).
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    normed = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    out = normed * layer["gamma"].astype(jnp.float32) + layer[
+        "beta"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _dropout(x, rate, rng, train):
+    if not train or rate is None or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def _attention(x, mha, config: DetectorConfig, compute_dtype,
+               dropout_rng=None, train: bool = False):
+    """Multi-head self-attention (keras MHA semantics, vtd.py:364-369).
+
+    Routes through the Pallas flash-attention kernel when
+    ``config.use_flash_attention`` and applies local windowing when
+    ``config.attention_window`` is set (high-res variant, BASELINE
+    configs[4]).
+    """
+    b, n, _ = x.shape
+    h, k = config.num_heads, config.key_dim
+    xc = x.astype(compute_dtype)
+
+    def proj(layer):
+        kernel = layer["kernel"].astype(compute_dtype)  # (D, H, K)
+        y = jnp.einsum("bnd,dhk->bnhk", xc, kernel,
+                       preferred_element_type=jnp.float32)
+        return y + layer["bias"].astype(jnp.float32)
+
+    q = proj(mha["query"]) / math.sqrt(k)   # fp32 (B, N, H, K)
+    key = proj(mha["key"])
+    v = proj(mha["value"])
+
+    window = config.attention_window
+    if window is not None:
+        gh, gw = config.grid_size
+        attn_out = _windowed_attention(
+            q, key, v, gh, gw, window, config, compute_dtype)
+    elif config.use_flash_attention:
+        from ..kernels.flash_attention import flash_attention
+        attn_out = flash_attention(
+            q.astype(compute_dtype), key.astype(compute_dtype),
+            v.astype(compute_dtype))
+    else:
+        scores = jnp.einsum("bnhk,bmhk->bhnm", q, key,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = _dropout(probs, config.dropout, dropout_rng, train)
+        attn_out = jnp.einsum(
+            "bhnm,bmhk->bnhk", probs.astype(compute_dtype),
+            v.astype(compute_dtype), preferred_element_type=jnp.float32)
+
+    out_kernel = mha["out"]["kernel"].astype(compute_dtype)  # (H, K, D)
+    out = jnp.einsum("bnhk,hkd->bnd", attn_out.astype(compute_dtype),
+                     out_kernel, preferred_element_type=jnp.float32)
+    out = out + mha["out"]["bias"].astype(jnp.float32)
+    return out.astype(compute_dtype)
+
+
+def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype):
+    """Non-overlapping local window attention over the patch grid.
+
+    The token axis is reshaped to (gh/w, w, gw/w, w) windows; attention runs
+    within each (w*w)-token window. This is the high-res sequence story
+    (SURVEY.md §5 long-context): at 1024px/p16 the 4,096-token quadratic
+    attention becomes 16 windows of 256 tokens.
+    """
+    b, n, h, k = q.shape
+    assert gh % window == 0 and gw % window == 0, (
+        f"grid {gh}x{gw} not divisible by window {window}")
+    nh, nw = gh // window, gw // window
+
+    def to_windows(t):
+        t = t.reshape(b, nh, window, nw, window, h, k)
+        t = t.transpose(0, 1, 3, 2, 4, 5, 6)
+        return t.reshape(b, nh * nw, window * window, h, k)
+
+    qw, kw, vw = to_windows(q), to_windows(key), to_windows(v)
+    scores = jnp.einsum("bwnhk,bwmhk->bwhnm", qw, kw,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bwhnm,bwmhk->bwnhk", probs.astype(compute_dtype),
+                     vw.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(b, nh, nw, window, window, h, k)
+    out = out.transpose(0, 1, 3, 2, 4, 5, 6)
+    return out.reshape(b, n, h, k)
+
+
+def _encoder_block(x, block, config: DetectorConfig, compute_dtype,
+                   rng=None, train: bool = False):
+    """Pre-LN MHA + descending mish pyramid, both residual (vtd.py:350-412)."""
+    rngs = jax.random.split(rng, 2 + len(block["mlp"])) if rng is not None \
+        else [None] * (2 + len(block["mlp"]))
+
+    side = x
+    x = _layer_norm(x, block["ln1"])
+    x = _attention(x, block["mha"], config, compute_dtype,
+                   dropout_rng=rngs[0], train=train)
+    x = x + side
+
+    side = x
+    x = _layer_norm(x, block["ln2"])
+    for j, layer in enumerate(block["mlp"]):
+        x = _dense(x, layer, compute_dtype)
+        x = mish(x) if config.use_mish else jax.nn.gelu(x, approximate=False)
+        x = _dropout(x, config.dropout, rngs[2 + j], train)
+    return x + side
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
+            train: bool = False,
+            dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Full detector forward: ``(B, H, W, 3) -> (B, max_objects, 6)`` raw
+    logits (sigmoid stays outside, vtd.py:618-619)."""
+    compute_dtype = jnp.dtype(config.compute_dtype)
+
+    # --- preprocessor (vtd.py:239-309) -------------------------------------
+    patches = extract_patches(images.astype(compute_dtype), config.patch_size)
+    x = _dense(patches, params["linear_projection"], compute_dtype)
+    # dim-1 positional embedding broadcasts over the channel axis
+    # (vtd.py:291-307).
+    x = x + params["position_embedding"].astype(compute_dtype)[None]
+
+    # --- encoder ------------------------------------------------------------
+    n_blocks = len(params["encoder"])
+    block_rngs = (jax.random.split(dropout_rng, n_blocks)
+                  if dropout_rng is not None else [None] * n_blocks)
+
+    block_fn = _encoder_block
+    if config.remat_encoder:
+        block_fn = jax.checkpoint(
+            _encoder_block, static_argnums=(2,), static_argnames=("train",))
+
+    for block, rng in zip(params["encoder"], block_rngs):
+        x = block_fn(x, block, config, compute_dtype, rng, train=train)
+
+    # --- head (vtd.py:417-495) ----------------------------------------------
+    x = _dense(x, params["head_token_dense"], compute_dtype)  # (B, P, M)
+    b = x.shape[0]
+    # The reference uses keras Reshape (a plain reshape, NOT a transpose) to
+    # go (B, P, M) -> (B, M, P) (vtd.py:460-463); kept bit-identical.
+    x = x.reshape(b, config.max_objects, config.num_patches)
+
+    for layer in params["head_mlp"]:
+        x = _dense(x, layer, compute_dtype)
+        x = mish(x) if config.use_mish else jax.nn.gelu(x, approximate=False)
+        # head dropout (vtd.py:485-486) is inference-off; training uses the
+        # same _dropout helper when a rate is configured.
+
+    logits = _dense(x, params["head_output"], compute_dtype)
+    return logits.astype(jnp.float32)
+
+
+def count_params(params: Params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,75 @@
+"""Benchmark: images/sec/chip at 640px batch inference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the TF reference's graph-mode inference measured ~2 s per 8-image
+batch at 608px on its GPU (ipynb cell 15; BASELINE.md), i.e. ~4 img/s. The
+north star asks for >=10x img/s/chip at 640px (BASELINE.json).
+
+The benchmarked model is the reference architecture (patch 17, embed 28,
+8 blocks — ipynb cell 7) at 640px input, jit-compiled end to end including
+the on-device decode. Run on whatever one chip is available (TPU under
+axon; falls back to CPU and says so).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_IMG_PER_S = 4.0  # TF reference, ipynb cell 15 (~2 s / 8 images)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vision_transformer_detector_tpu.config import DetectorConfig
+    from vision_transformer_detector_tpu.models.vit_detector import (
+        forward, init_params)
+    from vision_transformer_detector_tpu.ops.decode import (
+        transform_predictions)
+
+    device = jax.devices()[0]
+    on_tpu = device.platform != "cpu"
+
+    config = DetectorConfig(
+        image_size=(640, 640),
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    )
+    batch_size = 32 if on_tpu else 2
+
+    params = init_params(jax.random.PRNGKey(0), config)
+    h, w = config.image_size
+    images = jax.random.uniform(
+        jax.random.PRNGKey(1), (batch_size, h, w, 3),
+        minval=-1.0, maxval=1.0)
+
+    @jax.jit
+    def infer(params, images):
+        return transform_predictions(forward(params, images, config), config)
+
+    # Warm-up / compile.
+    infer(params, images).block_until_ready()
+
+    steps = 10 if on_tpu else 2
+    tic = time.perf_counter()
+    for _ in range(steps):
+        out = infer(params, images)
+    out.block_until_ready()
+    toc = time.perf_counter()
+
+    img_per_s = batch_size * steps / (toc - tic)
+    print(json.dumps({
+        "metric": f"640px batch inference throughput "
+                  f"({device.platform}, batch {batch_size}, "
+                  f"{config.compute_dtype})",
+        "value": round(img_per_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Data-layer tests: annotation dict building, letterbox geometry, label
+tensors, pipeline batching — golden-checked against the shipped
+val_annotations_dict.json where available."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vision_transformer_detector_tpu.config import DetectorConfig
+from vision_transformer_detector_tpu.data.annotations import (
+    build_annotations_dict,
+    labels_from_annotations,
+    letterbox_params,
+    load_annotations_dict,
+)
+from vision_transformer_detector_tpu.data.categories import (
+    COCO_CATEGORIES,
+    COCO_ID_TO_MODEL_ID,
+    MODEL_ID_TO_NAME,
+)
+from vision_transformer_detector_tpu.data.pipeline import (
+    CocoDetectionDataset,
+    normalize_image,
+    synthetic_batches,
+)
+
+CFG = DetectorConfig()
+VAL_DICT_PATH = "/root/reference/val_annotations_dict.json"
+
+
+def test_category_table():
+    assert len(COCO_CATEGORIES) == 80
+    # The model id of a category never changes (vtu.py:261-263):
+    # toothbrush is 79 in the model, 91 in COCO.
+    assert MODEL_ID_TO_NAME[79] == "toothbrush"
+    assert COCO_ID_TO_MODEL_ID[91] == 79
+    assert MODEL_ID_TO_NAME[0] == "person"
+    assert COCO_ID_TO_MODEL_ID[1] == 0
+
+
+def test_build_annotations_dict():
+    raw = {"annotations": [
+        {"image_id": 139, "category_id": 1,
+         "bbox": [10.0, 20.0, 30.0, 40.0]},           # area 1200
+        {"image_id": 139, "category_id": 18,
+         "bbox": [0.0, 0.0, 100.0, 50.0]},            # area 5000
+        {"image_id": 285, "category_id": 3,
+         "bbox": [5.0, 5.0, 0.0, 10.0]},              # degenerate width
+    ]}
+    result = build_annotations_dict(raw)
+    # Sorted area-descending within each image (vtu.py:188-199).
+    assert [a[0] for a in result["139"]] == [18, 1]
+    # Center format (vtu.py:149-152): bbox [10,20,30,40] -> cx 25, cy 40,
+    # h 40, w 30.
+    assert result["139"][1] == [1, 25.0, 40.0, 40.0, 30.0, 1200.0]
+    # Degenerate width fixed to 1 (vtu.py:154-166); center computed from
+    # the ORIGINAL width before the fix, like the reference.
+    assert result["285"][0] == [3, 5.0, 10.0, 10.0, 1, 10.0]
+
+
+@pytest.mark.skipif(not os.path.exists(VAL_DICT_PATH),
+                    reason="reference val dict not mounted")
+def test_golden_val_annotations_dict():
+    """Rebuilding from raw would need the COCO json; instead verify we can
+    load the shipped dict and build labels from it (the BASELINE.json
+    public-API requirement)."""
+    annotations = load_annotations_dict(VAL_DICT_PATH)
+    assert len(annotations) > 1000
+    image_id, records = next(iter(annotations.items()))
+    assert len(records[0]) == 6  # [cat, cx, cy, h, w, area]
+    # Area-descending ordering holds.
+    areas = [r[-1] for r in records]
+    assert areas == sorted(areas, reverse=True)
+    labels = labels_from_annotations(records, (480, 640), CFG)
+    assert labels.shape == (17, 6)
+    assert (labels[:, 0] == 1).sum() == min(len(records), 17)
+
+
+def test_letterbox_params():
+    # Wide image: width-bound scale, vertical blanks (vtu.py:314-317).
+    scale, blank_h, blank_w = letterbox_params((480, 640), (608, 608))
+    assert scale == pytest.approx(640 / 608)
+    assert blank_w == 0
+    assert blank_h == pytest.approx((608 - 480 / scale) / 2)
+    # Tall image: height-bound scale, horizontal blanks (vtu.py:320-323).
+    scale, blank_h, blank_w = letterbox_params((640, 480), (608, 608))
+    assert scale == pytest.approx(640 / 608)
+    assert blank_h == 0
+    # Square: no blanks.
+    scale, blank_h, blank_w = letterbox_params((304, 304), (608, 608))
+    assert scale == 0.5 and blank_h == 0 and blank_w == 0
+
+
+def test_labels_from_annotations():
+    # person (coco 1 -> model 0) and dog (coco 18 -> model 16)
+    records = [
+        [18, 320.0, 240.0, 100.0, 200.0, 20000.0],
+        [1, 100.0, 100.0, 50.0, 50.0, 2500.0],
+    ]
+    labels = labels_from_annotations(records, (480, 640), CFG)
+    scale, blank_h, _ = letterbox_params((480, 640), CFG.image_size)
+    assert labels[0, 0] == 1 and labels[0, 1] == 16
+    assert labels[0, 2] == pytest.approx(320.0 / scale)
+    assert labels[0, 3] == pytest.approx(240.0 / scale + blank_h)
+    assert labels[0, 4] == pytest.approx(100.0 / scale)  # height
+    assert labels[0, 5] == pytest.approx(200.0 / scale)  # width
+    # Empty slots: objectness 0, -8 elsewhere (vtu.py:497-505).
+    assert labels[2, 0] == 0 and np.all(labels[2, 1:] == -8)
+
+
+def test_labels_unknown_category_skipped():
+    records = [[12, 10.0, 10.0, 5.0, 5.0, 25.0]]  # coco id 12 doesn't exist
+    labels = labels_from_annotations(records, (100, 100), CFG)
+    assert np.all(labels[:, 0] == 0)
+
+
+def test_labels_overflow_truncated():
+    records = [[1, 10.0, 10.0, 5.0, 5.0, 25.0]] * 30
+    labels = labels_from_annotations(records, (608, 608), CFG)
+    assert labels.shape == (17, 6)
+    assert (labels[:, 0] == 1).all()
+
+
+def test_normalize_image():
+    img = np.array([[[0, 127, 255]]], np.uint8)
+    out = normalize_image(img)
+    np.testing.assert_allclose(out, [[[-1.0, 127 / 127.5 - 1, 1.0]]],
+                               atol=1e-6)
+
+
+def test_dataset_batching(tmp_path):
+    """End-to-end file pipeline with synthetic JPEGs."""
+    from PIL import Image
+
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"{i:012d}.jpg"
+        Image.fromarray(
+            np.random.randint(0, 255, (48, 64, 3), np.uint8)).save(p)
+        paths.append(str(p))
+    annotations = {str(i): [[1, 32.0, 24.0, 10.0, 10.0, 100.0]]
+                   for i in range(5)}
+    cfg = DetectorConfig(image_size=(64, 64))
+    ds = CocoDetectionDataset(paths, annotations, cfg, batch_size=2)
+    assert len(ds) == 2  # drop_remainder
+    batches = list(ds)
+    assert len(batches) == 2
+    images, labels = batches[0]
+    assert images.shape == (2, 64, 64, 3)
+    assert images.min() >= -1.0 and images.max() <= 1.0
+    assert labels.shape == (2, 17, 6)
+    assert (labels[:, 0, 0] == 1).all()
+
+
+def test_dataset_sharding(tmp_path):
+    from PIL import Image
+
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"{i:012d}.jpg"
+        Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(p)
+        paths.append(str(p))
+    cfg = DetectorConfig(image_size=(32, 32))
+    shard0 = CocoDetectionDataset(paths, {}, cfg, batch_size=2,
+                                  shard_index=0, num_shards=2)
+    shard1 = CocoDetectionDataset(paths, {}, cfg, batch_size=2,
+                                  shard_index=1, num_shards=2)
+    assert len(shard0.image_paths) == 4
+    assert set(shard0.image_paths).isdisjoint(shard1.image_paths)
+
+
+def test_synthetic_batches():
+    cfg = DetectorConfig(image_size=(64, 64))
+    batches = list(synthetic_batches(cfg, batch_size=2, num_batches=3))
+    assert len(batches) == 3
+    images, labels = batches[0]
+    assert images.shape == (2, 64, 64, 3)
+    assert labels.shape == (2, 17, 6)
+    assert (labels[..., 0] >= 0).all()

@@ -1,0 +1,94 @@
+"""Pallas kernel numerics vs plain-JAX oracles (interpret mode on CPU).
+
+Each kernel lands behind a flag with the plain-JAX path as oracle
+(SURVEY.md §7 step 6); these tests pin the numerics contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_transformer_detector_tpu.kernels.flash_attention import (
+    flash_attention, reference_attention)
+from vision_transformer_detector_tpu.kernels.fused_ffn import (
+    fused_dense_mish)
+from vision_transformer_detector_tpu.models.vit_detector import mish
+
+
+def _qkv(b, n, h, k, dtype=jnp.float32, seed=0):
+    rngs = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (b, n, h, k)
+    q = jax.random.normal(rngs[0], shape, dtype)
+    key = jax.random.normal(rngs[1], shape, dtype)
+    v = jax.random.normal(rngs[2], shape, dtype)
+    return q, key, v
+
+
+@pytest.mark.parametrize("n,k", [(196, 64), (256, 64), (300, 40)])
+def test_flash_attention_matches_reference(n, k):
+    """Covers: aligned seq, unaligned seq needing KV masking, and the
+    reference model's head_dim 40 needing zero-padding to 64."""
+    q, key, v = _qkv(2, n, 2, k)
+    out = flash_attention(q, key, v, block_q=128, block_kv=128)
+    expected = reference_attention(q, key, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_bf16():
+    q, key, v = _qkv(1, 128, 2, 64, dtype=jnp.bfloat16)
+    out = flash_attention(q, key, v, block_q=128, block_kv=128)
+    expected = reference_attention(
+        q.astype(jnp.float32), key.astype(jnp.float32),
+        v.astype(jnp.float32))
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(expected),
+        atol=3e-2, rtol=3e-2)
+
+
+def test_flash_attention_single_query_block():
+    """Sequence shorter than one block exercises the degenerate grid."""
+    q, key, v = _qkv(1, 64, 1, 64)
+    out = flash_attention(q, key, v, block_q=128, block_kv=128)
+    expected = reference_attention(q, key, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 128, 128), (100, 867, 28),
+                                   (17, 1296, 136)])
+def test_fused_dense_mish_matches_oracle(m, k, n):
+    """Shapes include the reference's patch projection (867->28) and a head
+    layer (1296->136) — deliberately unaligned."""
+    rngs = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(rngs[0], (m, k), jnp.float32)
+    w = jax.random.normal(rngs[1], (k, n), jnp.float32) * 0.05
+    b = jax.random.normal(rngs[2], (n,), jnp.float32)
+    out = fused_dense_mish(x, w, b)
+    expected = mish(x @ w + b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=3e-5, rtol=3e-5)
+
+
+def test_fused_dense_no_activation():
+    rngs = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(rngs[0], (32, 64), jnp.float32)
+    w = jax.random.normal(rngs[1], (64, 48), jnp.float32)
+    b = jnp.zeros((48,))
+    out = fused_dense_mish(x, w, b, apply_mish=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(x @ w), atol=3e-5, rtol=3e-5)
+
+
+def test_fused_dense_leading_axes():
+    rngs = jax.random.split(jax.random.PRNGKey(2), 3)
+    x = jax.random.normal(rngs[0], (2, 5, 64), jnp.float32)
+    w = jax.random.normal(rngs[1], (64, 32), jnp.float32)
+    b = jax.random.normal(rngs[2], (32,), jnp.float32)
+    out = fused_dense_mish(x, w, b)
+    assert out.shape == (2, 5, 32)
+    expected = mish(x @ w + b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=3e-5, rtol=3e-5)

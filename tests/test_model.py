@@ -1,0 +1,128 @@
+"""Model-level tests: patchify parity, forward shapes, dtype policy,
+windowed attention, head reshape semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_transformer_detector_tpu.config import DetectorConfig
+from vision_transformer_detector_tpu.models.vit_detector import (
+    count_params,
+    extract_patches,
+    forward,
+    init_params,
+    mish,
+)
+
+TINY = DetectorConfig(
+    image_size=(68, 68), embedding_dim=16, num_heads=2, key_dim=8,
+    encoder_blocks=2, encoder_mlp_layers=3, head_last_units=16, head_layers=2)
+
+
+def test_extract_patches_divisible():
+    """Exact patch contents for a divisible size: row-major (row, col,
+    channel) flattening like tf.image.extract_patches (vtd.py:189-199)."""
+    h = w = 4
+    p = 2
+    img = np.arange(h * w * 3, dtype=np.float32).reshape(1, h, w, 3)
+    patches = np.asarray(extract_patches(jnp.asarray(img), p))
+    assert patches.shape == (1, 4, 12)
+    # First patch = rows 0-1, cols 0-1, all channels, row-major.
+    expected = img[0, 0:2, 0:2, :].reshape(-1)
+    np.testing.assert_array_equal(patches[0, 0], expected)
+    # Second patch = rows 0-1, cols 2-3.
+    expected = img[0, 0:2, 2:4, :].reshape(-1)
+    np.testing.assert_array_equal(patches[0, 1], expected)
+
+
+def test_extract_patches_same_padding():
+    """608 = 17*35 + 13: SAME padding adds ceil-grid patches with zeros
+    (SURVEY.md §7 hard parts)."""
+    img = jnp.ones((1, 75, 75, 3), jnp.float32)  # 75 = 17*4 + 7
+    patches = extract_patches(img, 17)
+    assert patches.shape == (1, 25, 17 * 17 * 3)
+    # Edge patches contain zero padding -> their sum is less than a full
+    # interior patch's sum.
+    sums = np.asarray(patches.sum(axis=-1)).reshape(5, 5)
+    assert sums[0, 0] < sums[2, 2]
+    # TF SAME puts the smaller pad before: pad_total=10, top=5, bottom=5.
+    assert sums[0, 2] == sums[4, 2]
+
+
+def test_forward_shapes_and_param_count():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    images = jnp.zeros((3, 68, 68, 3), jnp.float32)
+    logits = forward(params, images, TINY)
+    assert logits.shape == (3, TINY.max_objects, 6)
+    assert logits.dtype == jnp.float32
+    assert count_params(params) > 0
+
+
+def test_reference_config_structure():
+    """The default config reproduces the reference's measured architecture
+    (ipynb cell 7): 36x36=1296 patches of 867, encoder pyramid 3584..28,
+    head pyramid 8704..136."""
+    cfg = DetectorConfig()
+    assert cfg.grid_size == (36, 36)
+    assert cfg.num_patches == 1296
+    assert cfg.patch_dim == 867
+    assert cfg.encoder_mlp_units == (3584, 1792, 896, 448, 224, 112, 56, 28)
+    assert cfg.head_units == (8704, 4352, 2176, 1088, 544, 272, 136)
+
+
+def test_bfloat16_close_to_fp32():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    images = jax.random.uniform(
+        jax.random.PRNGKey(1), (2, 68, 68, 3), minval=-1, maxval=1)
+    out32 = forward(params, images, TINY)
+    out16 = forward(params, images, TINY.replace(compute_dtype="bfloat16"))
+    assert out16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out32), np.asarray(out16), atol=0.15)
+
+
+def test_windowed_attention_runs():
+    cfg = DetectorConfig(
+        image_size=(64, 64), patch_size=16, embedding_dim=16, num_heads=2,
+        key_dim=8, encoder_blocks=1, encoder_mlp_layers=2,
+        head_last_units=16, head_layers=1, attention_window=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    logits = forward(params, jnp.ones((1, 64, 64, 3)), cfg)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_windowed_equals_full_when_window_covers_grid():
+    """A window spanning the whole grid must equal full attention."""
+    base = DetectorConfig(
+        image_size=(64, 64), patch_size=16, embedding_dim=16, num_heads=2,
+        key_dim=8, encoder_blocks=1, encoder_mlp_layers=2,
+        head_last_units=16, head_layers=1)
+    windowed = base.replace(attention_window=4)  # grid is 4x4
+    params = init_params(jax.random.PRNGKey(0), base)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    out_full = forward(params, images, base)
+    out_win = forward(params, images, windowed)
+    np.testing.assert_allclose(
+        np.asarray(out_full), np.asarray(out_win), atol=1e-4)
+
+
+def test_mish_matches_definition():
+    x = jnp.linspace(-5, 5, 11)
+    expected = x * jnp.tanh(jnp.log1p(jnp.exp(x)))
+    np.testing.assert_allclose(np.asarray(mish(x)), np.asarray(expected),
+                               rtol=1e-6)
+
+
+def test_dropout_only_active_in_training():
+    cfg = TINY.replace(dropout=0.5)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 68, 68, 3))
+    eval_1 = forward(params, images, cfg, train=False)
+    eval_2 = forward(params, images, cfg, train=False)
+    np.testing.assert_array_equal(np.asarray(eval_1), np.asarray(eval_2))
+    train_1 = forward(params, images, cfg, train=True,
+                      dropout_rng=jax.random.PRNGKey(2))
+    train_2 = forward(params, images, cfg, train=True,
+                      dropout_rng=jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(train_1), np.asarray(train_2))

@@ -1,0 +1,278 @@
+"""Command-line driver: train / evaluate / predict / visualize / stats / plot.
+
+The reference has no CLI — its driver is a notebook (SURVEY.md §1 L6). This
+module exposes the same workflows as subcommands:
+
+  python -m vision_transformer_detector_tpu.cli train \
+      --train-images DIR --train-annotations train_annotations_dict.json \
+      --epochs 12502 --batch-size 8 [--preset reference_608]
+  python -m vision_transformer_detector_tpu.cli evaluate ...
+  python -m vision_transformer_detector_tpu.cli predict --images DIR ...
+  python -m vision_transformer_detector_tpu.cli visualize ...
+  python -m vision_transformer_detector_tpu.cli stats --annotations ...
+  python -m vision_transformer_detector_tpu.cli plot --metrics metrics.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import (DetectorConfig, LossConfig, TrainConfig, get_config)
+
+
+def _add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", default="reference_608",
+                   help="config preset name (see config.PRESETS)")
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute dtype")
+    p.add_argument("--flash-attention", action="store_true")
+    p.add_argument("--fused-ffn", action="store_true")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--restore", default=None,
+                   help="checkpoint name to restore (e.g. 'ongoing')")
+    p.add_argument("--params-npz", default=None,
+                   help="load params from a .npz export "
+                        "(tools/convert_tf_checkpoint.py output)")
+
+
+def _build_config(args) -> DetectorConfig:
+    config = get_config(args.preset)
+    overrides = {}
+    if args.image_size:
+        overrides["image_size"] = (args.image_size, args.image_size)
+    if args.bf16:
+        overrides["compute_dtype"] = "bfloat16"
+    if args.flash_attention:
+        overrides["use_flash_attention"] = True
+    if args.fused_ffn:
+        overrides["use_fused_ffn"] = True
+    return config.replace(**overrides) if overrides else config
+
+
+def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False):
+    from .data.annotations import load_annotations_dict
+    from .data.pipeline import CocoDetectionDataset, list_image_paths
+
+    annotations = load_annotations_dict(annotations_arg)
+    start, end = args.images_range
+    paths = list_image_paths(
+        images_arg, images_range=(start, end if end >= 0 else None),
+        shuffle=shuffle, seed=0)
+    return CocoDetectionDataset(
+        paths, annotations, config, batch_size=args.batch_size)
+
+
+def _maybe_mesh(args):
+    if args.data_parallel <= 1 and args.model_parallel <= 1:
+        return None
+    from .parallel.mesh import create_mesh
+    return create_mesh(data=args.data_parallel, model=args.model_parallel)
+
+
+def cmd_train(args) -> None:
+    from .train.trainer import Trainer
+    from .utils.checkpoint import load_params_npz
+
+    config = _build_config(args)
+    train_config = TrainConfig(
+        learning_rate=args.learning_rate, batch_size=args.batch_size,
+        epochs=args.epochs, epochs_warm_up=args.epochs_warm_up,
+        skip_epochs=args.skip_epochs, seed=args.seed)
+    loss_config = LossConfig()
+
+    train_data = _build_dataset(args, config, args.train_images,
+                                args.train_annotations, shuffle=args.shuffle)
+    eval_data = None
+    if args.val_images and args.val_annotations:
+        eval_data = _build_dataset(args, config, args.val_images,
+                                   args.val_annotations)
+
+    trainer = Trainer(config, loss_config, train_config,
+                      steps_per_epoch=max(1, len(train_data)),
+                      mesh=_maybe_mesh(args),
+                      checkpoint_dir=args.checkpoint_dir,
+                      metrics_path=args.metrics)
+    state = trainer.init_state()
+    if args.params_npz:
+        state["params"] = load_params_npz(args.params_npz, state["params"])
+    if args.restore:
+        state = trainer.restore(state, args.restore)
+    state = trainer.fit(state, train_data, epochs=args.epochs,
+                        eval_data=eval_data)
+    trainer.save(state, name="final")
+    print(json.dumps({"best_ap": trainer.best_ap,
+                      "final_loss": trainer.loss_record[-1]
+                      if trainer.loss_record else None}))
+
+
+def cmd_evaluate(args) -> None:
+    from .train.trainer import Trainer, evaluate_map
+    from .utils.checkpoint import load_params_npz
+
+    config = _build_config(args)
+    trainer = Trainer(config, checkpoint_dir=args.checkpoint_dir)
+    state = trainer.init_state()
+    if args.params_npz:
+        state["params"] = load_params_npz(args.params_npz, state["params"])
+    elif args.restore:
+        state = trainer.restore(state, args.restore)
+    data = _build_dataset(args, config, args.val_images,
+                          args.val_annotations)
+    ap = evaluate_map(state["params"], data, config)
+    print(json.dumps({"mAP": ap}))
+
+
+def cmd_predict(args) -> None:
+    import numpy as np
+
+    from .data.pipeline import list_image_paths, load_and_letterbox_image
+    from .train.trainer import Trainer, make_eval_step
+    from .utils.checkpoint import load_params_npz
+
+    config = _build_config(args)
+    trainer = Trainer(config, checkpoint_dir=args.checkpoint_dir)
+    state = trainer.init_state()
+    if args.params_npz:
+        state["params"] = load_params_npz(args.params_npz, state["params"])
+    elif args.restore:
+        state = trainer.restore(state, args.restore)
+
+    eval_step = make_eval_step(config)
+    start, end = args.images_range
+    paths = list_image_paths(args.images,
+                             images_range=(start, end if end >= 0 else None))
+    outputs = []
+    for i in range(0, len(paths), args.batch_size):
+        chunk = paths[i:i + args.batch_size]
+        images = np.stack([
+            load_and_letterbox_image(p, config)[0] for p in chunk])
+        decoded = np.asarray(eval_step(state["params"], images))
+        for path, dets in zip(chunk, decoded):
+            outputs.append({"image": path, "detections": dets.tolist()})
+    json.dump(outputs, sys.stdout)
+    print()
+
+
+def cmd_visualize(args) -> None:
+    import numpy as np
+
+    from .data.pipeline import list_image_paths, load_and_letterbox_image
+    from .train.trainer import Trainer, make_predict_step
+    from .utils.checkpoint import load_params_npz
+    from .utils.visualize import visualize_predictions
+
+    config = _build_config(args)
+    trainer = Trainer(config, checkpoint_dir=args.checkpoint_dir)
+    state = trainer.init_state()
+    if args.params_npz:
+        state["params"] = load_params_npz(args.params_npz, state["params"])
+    elif args.restore:
+        state = trainer.restore(state, args.restore)
+
+    predict_step = make_predict_step(config)
+    start, end = args.images_range
+    paths = list_image_paths(args.images,
+                             images_range=(start, end if end >= 0 else None))
+    images = np.stack([
+        load_and_letterbox_image(p, config)[0] for p in paths])
+    raw = np.asarray(predict_step(state["params"], images))
+    written = visualize_predictions(
+        images, raw, args.output_dir,
+        objectness_threshold=args.objectness_threshold,
+        classification_threshold=args.classification_threshold,
+        config=config)
+    print(json.dumps({"written": list(written)}))
+
+
+def cmd_stats(args) -> None:
+    from .data.annotations import load_annotations_dict
+    from .data.statistics import (
+        coco_statistics, coco_statistics_multi_processing)
+
+    annotations = load_annotations_dict(args.annotations)
+    names = list(annotations)[: args.images_quantity or None]
+    if args.multi_processing:
+        result = coco_statistics_multi_processing(names, annotations)
+    else:
+        result = coco_statistics(names, annotations)
+    print(json.dumps(result, indent=2))
+
+
+def cmd_plot(args) -> None:
+    from .utils.plotting import plot_training_curves
+
+    path = plot_training_curves(args.metrics, args.output)
+    print(json.dumps({"written": path}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="vision_transformer_detector_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p, needs_train=False, needs_val=False, needs_images=False):
+        _add_model_args(p)
+        p.add_argument("--images-range", type=int, nargs=2,
+                       default=(0, -1), metavar=("START", "END"))
+        p.add_argument("--data-parallel", type=int, default=1)
+        p.add_argument("--model-parallel", type=int, default=1)
+        if needs_train:
+            p.add_argument("--train-images", required=True)
+            p.add_argument("--train-annotations", required=True)
+            p.add_argument("--shuffle", action="store_true")
+        if needs_val:
+            p.add_argument("--val-images", required=needs_val == "required")
+            p.add_argument("--val-annotations",
+                           required=needs_val == "required")
+        if needs_images:
+            p.add_argument("--images", required=True)
+
+    p = sub.add_parser("train", help="train a detector")
+    common(p, needs_train=True, needs_val=True)
+    p.add_argument("--epochs", type=int, default=12_502)
+    p.add_argument("--learning-rate", type=float, default=8e-5)
+    p.add_argument("--epochs-warm-up", type=int, default=500)
+    p.add_argument("--skip-epochs", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--metrics", default="metrics.jsonl")
+    p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser("evaluate", help="compute mAP on a dataset")
+    common(p, needs_val="required")
+    p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser("predict", help="decoded detections as json")
+    common(p, needs_images=True)
+    p.set_defaults(func=cmd_predict)
+
+    p = sub.add_parser("visualize", help="render detections to PNGs")
+    common(p, needs_images=True)
+    p.add_argument("--output-dir", default="visualizations")
+    p.add_argument("--objectness-threshold", type=float, default=0.5)
+    p.add_argument("--classification-threshold", type=float, default=0.5)
+    p.set_defaults(func=cmd_visualize)
+
+    p = sub.add_parser("stats", help="COCO dataset statistics")
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--images-quantity", type=int, default=0)
+    p.add_argument("--multi-processing", action="store_true")
+    p.set_defaults(func=cmd_stats)
+
+    p = sub.add_parser("plot", help="loss/AP training curves")
+    p.add_argument("--metrics", required=True)
+    p.add_argument("--output", default="loss-AP-scatters.html")
+    p.set_defaults(func=cmd_plot)
+
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

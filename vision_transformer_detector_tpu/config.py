@@ -206,7 +206,16 @@ def highres_1024() -> DetectorConfig:
     )
 
 
+def tiny_96() -> DetectorConfig:
+    """Small smoke-test config: full pipeline, minutes-scale on CPU."""
+    return DetectorConfig(
+        image_size=(96, 96), patch_size=16, embedding_dim=16, num_heads=2,
+        key_dim=8, encoder_blocks=2, encoder_mlp_layers=3,
+        head_last_units=16, head_layers=2)
+
+
 PRESETS = {
+    "tiny_96": tiny_96,
     "reference_608": reference_608,
     "reference_224": reference_224,
     "vit_s16_224": vit_s16_224,

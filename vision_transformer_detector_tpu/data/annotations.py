@@ -1,0 +1,186 @@
+"""COCO annotation loading and label construction.
+
+Replaces the reference's import-time annotation parsing
+(vision_transformer_utilities.py:82-220) with explicit APIs:
+
+  * ``build_annotations_dict(raw)`` — COCO instances JSON ->
+    ``{image_id: [[category_id, cx, cy, h, w, area], ...]}`` with the same
+    fixes the reference applies: top-left corner -> center format with
+    3-decimal rounding (vtu.py:149-152), degenerate 0-height/width boxes set
+    to 1 (vtu.py:154-166), per-image sort by area descending (vtu.py:188-199).
+  * ``load_annotations_dict(path)`` — loads a pre-extracted
+    train/val_annotations_dict.json (the format the reference ships;
+    BASELINE.json requires this API).
+  * ``letterbox_params`` / ``letterbox_boxes`` — the aspect-preserving
+    resize-with-pad transform of box coordinates (vtu.py:305-368),
+    vectorised over all boxes of an image instead of the reference's
+    per-annotation python loop with pandas lookups (the pipeline hot spot,
+    SURVEY.md §3.1).
+  * ``labels_from_annotations`` — the fixed-slot ``(max_objects, 6)`` label
+    tensor with the -8 empty-slot convention (vtu.py:452-507).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import DetectorConfig
+from .categories import COCO_ID_TO_MODEL_ID
+
+AnnotationsDict = Dict[str, List[List[float]]]
+
+
+def build_annotations_dict(raw: dict,
+                           area_descending: bool = True) -> AnnotationsDict:
+    """COCO instances dict -> annotation dict (vtu.py:82-210).
+
+    Each annotation becomes ``[category_id_in_coco, center_x, center_y,
+    height, width, bbox_area]``; per-image lists are sorted by area
+    (descending by default, BBOX_AREA_DESCENDING at vtu.py:51-53).
+    """
+    annotations_dict: AnnotationsDict = {}
+    for each in raw["annotations"]:
+        image_id = str(each["image_id"])
+        bbox = each["bbox"]
+        top_left_x, top_left_y, width, height = bbox
+
+        center_x = round(top_left_x + width / 2, 3)
+        center_y = round(top_left_y + height / 2, 3)
+        # Degenerate boxes: a 0 width/height is set to 1 so the object is
+        # not lost (vtu.py:154-166).
+        if np.isclose(width, 0):
+            width = 1
+        elif np.isclose(height, 0):
+            height = 1
+        area = round(width * height, 1)
+
+        annotations_dict.setdefault(image_id, []).append(
+            [each["category_id"], center_x, center_y, height, width, area])
+
+    reverse = bool(area_descending)
+    for key in annotations_dict:
+        annotations_dict[key].sort(key=lambda a: a[-1], reverse=reverse)
+    return annotations_dict
+
+
+def load_annotations_dict(path: str) -> AnnotationsDict:
+    """Load a pre-extracted {train,val}_annotations_dict.json (the format
+    shipped with the reference; see SURVEY.md §0)."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def build_annotations_from_instances(path: str,
+                                     area_descending: bool = True
+                                     ) -> AnnotationsDict:
+    """Parse instances_{train,val}2017.json from disk."""
+    with open(path) as f:
+        raw = json.load(f)
+    return build_annotations_dict(raw, area_descending)
+
+
+def save_annotations_dict(annotations: AnnotationsDict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(annotations, f)
+
+
+# ---------------------------------------------------------------------------
+# Letterbox geometry (vtu.py:305-368)
+# ---------------------------------------------------------------------------
+
+def letterbox_params(original_size: Tuple[int, int],
+                     model_size: Tuple[int, int]
+                     ) -> Tuple[float, float, float]:
+    """Resize-with-pad parameters.
+
+    Returns ``(resize_scale, blank_in_height, blank_in_width)`` such that a
+    source coordinate maps to ``coord / resize_scale + blank`` in the padded
+    model frame. Matches vtu.py:305-323 including the equal-scale branch.
+    """
+    oh, ow = original_size
+    mh, mw = model_size
+    width_scale = ow / mw
+    height_scale = oh / mh
+    blank_h = 0.0
+    blank_w = 0.0
+    if width_scale > height_scale:
+        scale = width_scale
+        blank_h = (mh - oh / scale) / 2
+    elif width_scale == height_scale:
+        scale = width_scale
+    else:
+        scale = height_scale
+        blank_w = (mw - ow / scale) / 2
+    return scale, blank_h, blank_w
+
+
+def letterbox_boxes(boxes: np.ndarray, original_size: Tuple[int, int],
+                    model_size: Tuple[int, int]) -> np.ndarray:
+    """Map ``(N, 4)`` cxcyhw boxes from source pixels into the letterboxed
+    model frame (vectorised vtu.py:352-368)."""
+    scale, blank_h, blank_w = letterbox_params(original_size, model_size)
+    out = np.asarray(boxes, np.float32) / np.float32(scale)
+    # The reference adds the vertical blank when width_scale >= height_scale
+    # and the horizontal blank otherwise (vtu.py:363-368); with the other
+    # blank being exactly 0 an unconditional add is identical.
+    out[:, 0] += np.float32(blank_w)
+    out[:, 1] += np.float32(blank_h)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fixed-slot labels (vtu.py:452-507)
+# ---------------------------------------------------------------------------
+
+def labels_from_annotations(
+        image_annotations: Optional[Sequence[Sequence[float]]],
+        original_size: Tuple[int, int],
+        config: DetectorConfig,
+        coco_id_to_model_id: Optional[Dict[int, int]] = None) -> np.ndarray:
+    """Per-image annotations -> ``(max_objects, 6)`` float32 label tensor.
+
+    Keeps the reference's conventions: annotations arrive area-sorted, only
+    detected categories are kept (COCO id -> model id via the embedded
+    table), coordinates are letterboxed to the model frame, the first
+    ``max_objects`` boxes fill slots in order, empty slots have objectness 0
+    and -8 elsewhere (vtu.py:497-505).
+    """
+    if coco_id_to_model_id is None:
+        coco_id_to_model_id = COCO_ID_TO_MODEL_ID
+
+    labels = np.full((config.max_objects, 6), -8.0, np.float32)
+    labels[:, 0] = 0.0
+    if not image_annotations:
+        return labels
+
+    rows = np.asarray(
+        [a[:5] for a in image_annotations], np.float32)  # (N, 5)
+    coco_ids = rows[:, 0].astype(np.int64)
+    model_ids = np.asarray(
+        [coco_id_to_model_id.get(int(c), -1) for c in coco_ids], np.int64)
+    keep = model_ids >= 0
+    if not keep.any():
+        return labels
+    rows, model_ids = rows[keep], model_ids[keep]
+
+    # rows columns: [coco_id, cx, cy, h, w] -> boxes in cxcyhw order.
+    boxes = np.stack([rows[:, 1], rows[:, 2], rows[:, 3], rows[:, 4]], axis=1)
+    # letterbox_boxes expects cxcyhw with (h, w) scaled too; scale all four
+    # then offset only the centers (vtu.py:357-368).
+    scale, blank_h, blank_w = letterbox_params(
+        original_size, config.image_size)
+    boxes = boxes / np.float32(scale)
+    boxes[:, 0] += np.float32(blank_w)
+    boxes[:, 1] += np.float32(blank_h)
+
+    n = min(len(boxes), config.max_objects)
+    labels[:n, 0] = 1.0
+    labels[:n, 1] = model_ids[:n].astype(np.float32)
+    labels[:n, 2] = boxes[:n, 0]  # center_x
+    labels[:n, 3] = boxes[:n, 1]  # center_y
+    labels[:n, 4] = boxes[:n, 2]  # height
+    labels[:n, 5] = boxes[:n, 3]  # width
+    return labels

@@ -1,0 +1,196 @@
+"""Host input pipeline: image decode + letterbox + fixed-slot labels.
+
+TPU-native replacement for the reference's tf.data + tf.py_function pipeline
+(vision_transformer_utilities.py:510-615). The reference pins all per-image
+work to the Python interpreter via ``tf.py_function`` and does per-box
+pandas lookups (the pipeline hot spot, SURVEY.md §3.1); here:
+
+  * decode runs on the host (PIL, releases the GIL) in a small worker pool,
+  * the letterbox transform of boxes is a single vectorised NumPy op,
+  * normalisation to [-1, 1] is fused into the device program by the
+    trainer (the pipeline ships uint8 when asked, saving 4x host->device
+    bandwidth — on TPU the HBM transfer is the bottleneck, not the VPU
+    divide),
+  * batches are prefetched by a background thread into a bounded queue,
+  * per-host sharding for multi-host SPMD is a (shard_index, num_shards)
+    slice of the file list, matching ``jax.process_index`` semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import DetectorConfig
+from .annotations import AnnotationsDict, labels_from_annotations
+
+
+def list_image_paths(image_dir: str,
+                     images_range: Optional[Tuple[int, Optional[int]]] = None,
+                     shuffle: bool = False,
+                     seed: Optional[int] = None) -> List[str]:
+    """Recursive file listing with optional shuffle and range slice
+    (vtu.py:385-415)."""
+    paths: List[str] = []
+    for root, _, names in os.walk(image_dir):
+        for name in sorted(names):
+            if name.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+                paths.append(os.path.join(root, name))
+    if shuffle:
+        rng = random.Random(seed)
+        rng.shuffle(paths)
+    if images_range is not None:
+        start, end = images_range
+        paths = paths[start:end]
+    return paths
+
+
+def image_id_from_path(path: str) -> str:
+    """'000000000139.jpg' -> '139' (vtu.py:297-303)."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    return str(int(stem))
+
+
+def load_and_letterbox_image(path: str, config: DetectorConfig,
+                             normalize: bool = True
+                             ) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Decode + aspect-preserving resize + center pad (vtu.py:418-449).
+
+    Returns the image (float32 in [-1,1] when ``normalize`` else uint8) and
+    the original (height, width) needed for the label transform.
+    """
+    from PIL import Image
+
+    with Image.open(path) as pil:
+        pil = pil.convert("RGB")
+        ow, oh = pil.size
+        mh, mw = config.image_size
+        scale = max(oh / mh, ow / mw)
+        rh, rw = max(1, round(oh / scale)), max(1, round(ow / scale))
+        pil = pil.resize((rw, rh), Image.BILINEAR)
+        resized = np.asarray(pil, np.uint8)
+
+    top = (mh - rh) // 2
+    left = (mw - rw) // 2
+    canvas = np.zeros((mh, mw, 3), np.uint8)
+    canvas[top:top + rh, left:left + rw] = resized
+    if not normalize:
+        return canvas, (oh, ow)
+    return normalize_image(canvas), (oh, ow)
+
+
+def normalize_image(image_uint8: np.ndarray) -> np.ndarray:
+    """[0,255] uint8 -> [-1,1] float32 (vtu.py:442-447)."""
+    return image_uint8.astype(np.float32) / 127.5 - 1.0
+
+
+class CocoDetectionDataset:
+    """Batched, prefetched (image, label) stream.
+
+    Equivalent of ``coco_data_vision_transformer`` (vtu.py:556-615):
+    batches of ``(images [B,H,W,3] in [-1,1], labels [B,max_objects,6])``
+    with ``drop_remainder`` semantics, plus per-host sharding for SPMD.
+    """
+
+    def __init__(self,
+                 image_paths: Sequence[str],
+                 annotations: AnnotationsDict,
+                 config: DetectorConfig,
+                 batch_size: int = 8,
+                 drop_remainder: bool = True,
+                 shard_index: int = 0,
+                 num_shards: int = 1,
+                 num_workers: int = 2,
+                 prefetch: int = 2,
+                 normalize: bool = True):
+        self.image_paths = list(image_paths)[shard_index::num_shards]
+        self.annotations = annotations
+        self.config = config
+        self.batch_size = batch_size
+        self.drop_remainder = drop_remainder
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.normalize = normalize
+
+    def __len__(self) -> int:
+        n = len(self.image_paths)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    # ------------------------------------------------------------------
+    def _load_one(self, path: str) -> Tuple[np.ndarray, np.ndarray]:
+        image, original_size = load_and_letterbox_image(
+            path, self.config, normalize=self.normalize)
+        image_annotations = self.annotations.get(image_id_from_path(path))
+        labels = labels_from_annotations(
+            image_annotations, original_size, self.config)
+        return image, labels
+
+    def _batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        paths = self.image_paths
+        n_batches = len(self)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for b in range(n_batches):
+                chunk = paths[b * self.batch_size:(b + 1) * self.batch_size]
+                pairs = list(pool.map(self._load_one, chunk))
+                images = np.stack([p[0] for p in pairs])
+                labels = np.stack([p[1] for p in pairs])
+                yield images, labels
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Iterate with a background prefetch thread (bounded queue), the
+        host-side half of the host+device prefetch pipeline."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: List[BaseException] = []
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as exc:  # surfaced on the consumer side
+                error.append(exc)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
+def synthetic_batches(config: DetectorConfig, batch_size: int,
+                      num_batches: int, seed: int = 0,
+                      max_boxes: int = 5
+                      ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Deterministic synthetic (image, label) batches for tests/benches
+    (no COCO files needed)."""
+    rng = np.random.default_rng(seed)
+    h, w = config.image_size
+    for _ in range(num_batches):
+        images = rng.uniform(-1, 1, (batch_size, h, w, 3)).astype(np.float32)
+        labels = np.full((batch_size, config.max_objects, 6), -8.0,
+                         np.float32)
+        labels[..., 0] = 0.0
+        for i in range(batch_size):
+            n = int(rng.integers(1, max_boxes + 1))
+            for s in range(min(n, config.max_objects)):
+                bh = float(rng.uniform(10, h / 2))
+                bw = float(rng.uniform(10, w / 2))
+                cx = float(rng.uniform(bw / 2, w - bw / 2))
+                cy = float(rng.uniform(bh / 2, h - bh / 2))
+                labels[i, s] = (1.0, float(rng.integers(0, config.num_classes)),
+                                cx, cy, bh, bw)
+        yield images, labels

@@ -181,6 +181,22 @@ def _layer_norm(x, layer, eps: float = 1e-3):
     return out.astype(x.dtype)
 
 
+def _dense_activation(x, layer, config: DetectorConfig, compute_dtype,
+                      rng=None, train: bool = False):
+    """Dense + activation (+ dropout) for the pyramid layers, optionally
+    through the fused Pallas kernel (kernels/fused_ffn.py)."""
+    if (config.use_fused_ffn and config.use_mish
+            and (config.dropout is None or not train)):
+        from ..kernels.fused_ffn import fused_dense_mish
+        return fused_dense_mish(
+            x.astype(compute_dtype),
+            layer["kernel"].astype(compute_dtype),
+            layer["bias"].astype(compute_dtype))
+    x = _dense(x, layer, compute_dtype)
+    x = mish(x) if config.use_mish else jax.nn.gelu(x, approximate=False)
+    return _dropout(x, config.dropout, rng, train)
+
+
 def _dropout(x, rate, rng, train):
     if not train or rate is None or rate == 0.0 or rng is None:
         return x
@@ -283,9 +299,8 @@ def _encoder_block(x, block, config: DetectorConfig, compute_dtype,
     side = x
     x = _layer_norm(x, block["ln2"])
     for j, layer in enumerate(block["mlp"]):
-        x = _dense(x, layer, compute_dtype)
-        x = mish(x) if config.use_mish else jax.nn.gelu(x, approximate=False)
-        x = _dropout(x, config.dropout, rngs[2 + j], train)
+        x = _dense_activation(x, layer, config, compute_dtype,
+                              rngs[2 + j], train)
     return x + side
 
 
@@ -327,11 +342,13 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
     # go (B, P, M) -> (B, M, P) (vtd.py:460-463); kept bit-identical.
     x = x.reshape(b, config.max_objects, config.num_patches)
 
-    for layer in params["head_mlp"]:
-        x = _dense(x, layer, compute_dtype)
-        x = mish(x) if config.use_mish else jax.nn.gelu(x, approximate=False)
-        # head dropout (vtd.py:485-486) is inference-off; training uses the
-        # same _dropout helper when a rate is configured.
+    head_rngs = (jax.random.split(jax.random.fold_in(dropout_rng, 7),
+                                  len(params["head_mlp"]))
+                 if dropout_rng is not None else [None] * len(
+                     params["head_mlp"]))
+    for layer, rng in zip(params["head_mlp"], head_rngs):
+        # head dropout (vtd.py:485-486) rides the same helper.
+        x = _dense_activation(x, layer, config, compute_dtype, rng, train)
 
     logits = _dense(x, params["head_output"], compute_dtype)
     return logits.astype(jnp.float32)

@@ -23,6 +23,19 @@ import numpy as np
 from ..config import EPSILON
 
 
+def _safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with a zero gradient at 0 instead of inf.
+
+    sqrt'(0) = inf; multiplied by a 0 mask downstream that becomes NaN and
+    poisons the whole gradient (the classic masked-loss trap). The
+    double-where pattern keeps forward values identical and makes the
+    backward exact-zero at x == 0.
+    """
+    positive = x > 0
+    safe = jnp.where(positive, x, 1.0)
+    return jnp.where(positive, jnp.sqrt(safe), 0.0)
+
+
 def _edges(bbox: jnp.ndarray):
     """(left, right, top, bottom) edges from a cxcyhw box (vtd.py:790-806)."""
     cx = bbox[..., -4]
@@ -94,7 +107,7 @@ def enclosing_diagonal(label_bbox: jnp.ndarray,
     enclosing_w = (jnp.max(vertical_edges, axis=-1)
                    - jnp.min(vertical_edges, axis=-1))
 
-    return jnp.sqrt(enclosing_h * enclosing_h + enclosing_w * enclosing_w)
+    return _safe_sqrt(enclosing_h * enclosing_h + enclosing_w * enclosing_w)
 
 
 def ciou(label_bbox: jnp.ndarray, prediction_bbox: jnp.ndarray,
@@ -111,7 +124,7 @@ def ciou(label_bbox: jnp.ndarray, prediction_bbox: jnp.ndarray,
 
     # rho: euclidean distance between centers (vtd.py:965-971).
     deltas = label_bbox[..., :2] - prediction_bbox[..., :2]
-    rho = jnp.sqrt(jnp.sum(deltas * deltas, axis=-1))
+    rho = _safe_sqrt(jnp.sum(deltas * deltas, axis=-1))
 
     c_diagonal = enclosing_diagonal(label_bbox, prediction_bbox)
 

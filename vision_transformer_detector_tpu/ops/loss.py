@@ -83,14 +83,25 @@ def detection_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray,
     safe_count = jnp.maximum(positives, 1.0)
 
     # --- classification term over positives (vtd.py:1209-1228) -------------
+    # The mask is folded INSIDE the power so negative slots contribute an
+    # exact 0 with a zero gradient (for even exponents this is identical to
+    # masking afterwards, but it cannot produce 0 * inf in the backward).
     classification_error = jnp.abs(y_pred[..., 1] - y_true[..., 1])
     loss_classification = jnp.power(
-        loss_config.coefficient * classification_error, loss_config.exponent)
-    loss_classification_mean = jnp.sum(
-        loss_classification * object_mask) / safe_count
+        loss_config.coefficient * classification_error * object_mask,
+        loss_config.exponent)
+    loss_classification_mean = jnp.sum(loss_classification) / safe_count
 
     # --- CIoU term over positives (vtd.py:1230-1247) -----------------------
-    loss_ciou = ciou(y_true[..., -4:], y_pred[..., -4:])
+    # Negative slots carry -8 fill values (y_true) and arbitrary decoded
+    # boxes (y_pred); substituting a fixed unit box for both BEFORE the CIoU
+    # keeps every masked-out lane finite in forward AND backward (a NaN/inf
+    # cotangent multiplied by a 0 mask would still poison the gradient).
+    mask4 = object_mask[..., None]
+    dummy = jnp.asarray([10.0, 10.0, 5.0, 5.0], jnp.float32)
+    label_boxes = jnp.where(mask4 > 0, y_true[..., -4:], dummy)
+    pred_boxes = jnp.where(mask4 > 0, y_pred[..., -4:], dummy)
+    loss_ciou = ciou(label_boxes, pred_boxes)
     loss_ciou_mean = jnp.sum(loss_ciou * object_mask) / safe_count
 
     # Zero-positives guard (vtd.py:1249-1251).

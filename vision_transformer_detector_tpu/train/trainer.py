@@ -1,0 +1,272 @@
+"""SPMD training loop: jitted train/eval steps, best-AP checkpointing,
+structured metrics.
+
+The TPU-native equivalent of the reference's notebook driver + callback
+stack (ipynb cell 7; SaveModelHighestAP at
+vision_transformer_detector.py:2063-2184):
+
+  * one jitted train step (forward + loss + grads + Adam + weight clip);
+    under a multi-device mesh the batch is sharded over the 'data' axis and
+    XLA inserts the psum gradient reduction — the reference's missing DP,
+  * a jitted eval step returning decoded predictions; the streaming mAP
+    metric consumes them host-side through its
+    ``use_transform_predictions=False`` seam,
+  * the dual-model graph/eager dance of SaveModelHighestAP (vtd.py:2066-2069,
+    a TF workaround) disappears: the same params serve both steps,
+  * checkpoints hold {params, opt_state, step, best_ap} — unlike the
+    reference, optimizer state resumes too (SURVEY.md §5 checkpoint),
+  * metrics stream to a jsonl file for the plotting tool.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import DetectorConfig, LossConfig, TrainConfig
+from ..metrics.mean_average_precision import MeanAveragePrecision
+from ..models.vit_detector import forward, init_params
+from ..ops.decode import transform_predictions
+from ..ops.loss import detection_loss
+from ..parallel import mesh as mesh_lib
+from ..utils import checkpoint as ckpt_lib
+from .optimizer import clip_weights, make_optimizer
+
+TrainState = Dict[str, Any]  # {"params", "opt_state", "step"}
+
+
+def create_train_state(rng: jax.Array, config: DetectorConfig,
+                       optimizer: optax.GradientTransformation) -> TrainState:
+    params = init_params(rng, config)
+    return {
+        "params": params,
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def _maybe_normalize(images: jnp.ndarray) -> jnp.ndarray:
+    """Fuse the [-1,1] normalisation (vtu.py:442-447) into the device
+    program when the pipeline ships uint8."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 127.5 - 1.0
+    return images
+
+
+def make_train_step(config: DetectorConfig,
+                    loss_config: LossConfig,
+                    optimizer: optax.GradientTransformation,
+                    donate: bool = True):
+    """Build the jitted train step. Sharding of inputs decides DP/TP; XLA
+    emits the collectives."""
+
+    def train_step(state: TrainState, images, labels, rng
+                   ) -> Tuple[TrainState, jnp.ndarray]:
+        images = _maybe_normalize(images)
+
+        def loss_fn(params):
+            logits = forward(params, images, config,
+                             train=config.dropout is not None,
+                             dropout_rng=rng)
+            return detection_loss(labels, logits, config, loss_config)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        if config.clip_weight:
+            params = clip_weights(params, config.max_weight)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        return new_state, loss
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(config: DetectorConfig):
+    """Jitted forward + on-device decode -> (B, max_objects, 6) decoded."""
+
+    def eval_step(params, images):
+        images = _maybe_normalize(images)
+        logits = forward(params, images, config, train=False)
+        return transform_predictions(logits, config)
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(config: DetectorConfig):
+    """Jitted forward returning raw logits (the reference's model.predict)."""
+
+    def predict_step(params, images):
+        images = _maybe_normalize(images)
+        return forward(params, images, config, train=False)
+
+    return jax.jit(predict_step)
+
+
+def evaluate_map(params, dataset: Iterable, config: DetectorConfig,
+                 eval_step=None,
+                 metric: Optional[MeanAveragePrecision] = None) -> float:
+    """Run the streaming mAP over a dataset (SaveModelHighestAP's evaluate,
+    vtd.py:2162-2172)."""
+    if eval_step is None:
+        eval_step = make_eval_step(config)
+    if metric is None:
+        metric = MeanAveragePrecision(config)
+    metric.reset_state()
+    for images, labels in dataset:
+        decoded = eval_step(params, jnp.asarray(images))
+        metric.update_state(labels, np.asarray(decoded),
+                            use_transform_predictions=False)
+    return float(metric.result())
+
+
+class MetricsWriter:
+    """Structured jsonl metrics (replaces history.history + the pandas
+    records table, ipynb cells 6-9)."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def write(self, **record):
+        if self._f is not None:
+            self._f.write(json.dumps(record) + "\n")
+            self._f.flush()
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+
+
+class Trainer:
+    """End-to-end training driver (ipynb cell 7 + SaveModelHighestAP)."""
+
+    def __init__(self,
+                 config: DetectorConfig,
+                 loss_config: LossConfig = LossConfig(),
+                 train_config: TrainConfig = TrainConfig(),
+                 steps_per_epoch: int = 1,
+                 mesh=None,
+                 checkpoint_dir: Optional[str] = None,
+                 metrics_path: Optional[str] = None):
+        self.config = config
+        self.loss_config = loss_config
+        self.train_config = train_config
+        self.mesh = mesh
+        self.checkpoint_dir = checkpoint_dir
+        self.optimizer = make_optimizer(train_config, steps_per_epoch)
+        self.train_step = make_train_step(config, loss_config, self.optimizer)
+        self.eval_step = make_eval_step(config)
+        self.metric = MeanAveragePrecision(config)
+        self.metrics = MetricsWriter(metrics_path)
+        self.best_ap = 0.0
+        self.ap_record = []
+        self.loss_record = []
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.PRNGKey(
+            self.train_config.seed if seed is None else seed)
+        params = init_params(rng, self.config)
+        if self.mesh is not None:
+            # Shard params first; optimizer.init builds its moments with
+            # zeros_like, which inherits the param shardings, so mu/nu are
+            # laid out exactly like the params with no resharding churn.
+            params = jax.device_put(
+                params, mesh_lib.param_shardings(params, self.mesh))
+        opt_state = self.optimizer.init(params)
+        step = jnp.zeros((), jnp.int32)
+        if self.mesh is not None:
+            step = jax.device_put(step, mesh_lib.replicated(self.mesh))
+        return {"params": params, "opt_state": opt_state, "step": step}
+
+    def _put_batch(self, images, labels):
+        images = jnp.asarray(images)
+        labels = jnp.asarray(labels)
+        if self.mesh is not None:
+            data_size = self.mesh.shape[mesh_lib.DATA_AXIS]
+            if images.shape[0] % data_size != 0:
+                raise ValueError(
+                    f"batch size {images.shape[0]} is not divisible by the "
+                    f"data-parallel axis ({data_size} devices); choose a "
+                    f"batch size that is a multiple of {data_size}")
+            sharding = mesh_lib.batch_sharding(self.mesh)
+            images = jax.device_put(images, sharding)
+            labels = jax.device_put(labels, sharding)
+        return images, labels
+
+    # ------------------------------------------------------------------
+    def fit(self, state: TrainState, train_data, epochs: int,
+            eval_data=None) -> TrainState:
+        """Epoch loop with warm-up-gated periodic eval + best-AP checkpoint
+        (SaveModelHighestAP semantics, vtd.py:2142-2180)."""
+        tc = self.train_config
+        rng = jax.random.PRNGKey(tc.seed + 1)
+        tic = time.time()
+
+        for epoch in range(epochs):
+            epoch_losses = []
+            for images, labels in train_data:
+                images, labels = self._put_batch(images, labels)
+                rng, step_rng = jax.random.split(rng)
+                state, loss = self.train_step(
+                    state, images, labels, step_rng)
+                epoch_losses.append(loss)
+            epoch_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+            self.loss_record.append(epoch_loss)
+
+            record = {"epoch": epoch, "loss": epoch_loss,
+                      "wall_s": time.time() - tic}
+
+            if (eval_data is not None and epoch >= tc.epochs_warm_up
+                    and (epoch - tc.epochs_warm_up) % tc.skip_epochs == 0):
+                ap = evaluate_map(state["params"], eval_data, self.config,
+                                  self.eval_step, self.metric)
+                self.ap_record.append(ap)
+                record["ap"] = ap
+                if ap > self.best_ap:
+                    self.best_ap = ap
+                    if self.checkpoint_dir:
+                        self.save(state, name="highest_ap")
+                if self.checkpoint_dir:
+                    self.save(state, name="ongoing")
+
+            self.metrics.write(**record)
+        return state
+
+    # ------------------------------------------------------------------
+    def save(self, state: TrainState, name: str = "ongoing") -> None:
+        path = os.path.join(self.checkpoint_dir, name)
+        ckpt_lib.save_checkpoint(
+            path, {"params": state["params"],
+                   "opt_state": state["opt_state"],
+                   "step": state["step"],
+                   "best_ap": jnp.float32(self.best_ap)})
+
+    def restore(self, state: TrainState, name: str = "ongoing") -> TrainState:
+        path = os.path.join(self.checkpoint_dir, name)
+        template = {"params": state["params"],
+                    "opt_state": state["opt_state"],
+                    "step": state["step"],
+                    "best_ap": jnp.float32(0.0)}
+        restored = ckpt_lib.restore_checkpoint(path, template)
+        self.best_ap = float(restored.pop("best_ap"))
+        restored["step"] = jnp.asarray(restored["step"], jnp.int32)
+        return restored

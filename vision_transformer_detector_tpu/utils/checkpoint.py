@@ -1,0 +1,66 @@
+"""Checkpointing: orbax-backed save/restore of the full train state.
+
+Replaces the reference's Keras model.save dance (SaveModelHighestAP,
+vision_transformer_detector.py:2142-2180), which could only persist weights
+(the extract_patches layer breaks full-model save, vtd.py:180-183) and
+never persisted optimizer state. Here the checkpoint is the whole pytree
+{params, opt_state, step, best_ap}, so training resumes exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _orbax():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    """Save a pytree checkpoint at ``path`` (directory)."""
+    path = os.path.abspath(path)
+    ocp = _orbax()
+    with ocp.StandardCheckpointer() as checkpointer:
+        checkpointer.save(path, tree, force=True)
+
+
+def restore_checkpoint(path: str, template: Any) -> Any:
+    """Restore a pytree checkpoint, shaped like ``template`` (an example
+    pytree with the right structure/shapes/dtypes/shardings)."""
+    path = os.path.abspath(path)
+    ocp = _orbax()
+    with ocp.StandardCheckpointer() as checkpointer:
+        return checkpointer.restore(path, template)
+
+
+def save_params_npz(path: str, params: Any) -> None:
+    """Portable flat .npz export of the parameter pytree (for the TF->JAX
+    weight carry-over tooling and quick inspection)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {}
+    for key_path, leaf in flat:
+        name = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in key_path)
+        arrays[name] = np.asarray(leaf)
+    np.savez(path, **arrays)
+
+
+def load_params_npz(path: str, template: Any) -> Any:
+    """Inverse of save_params_npz against a template pytree."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for key_path, leaf in flat:
+        name = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in key_path)
+        arr = np.asarray(data[name])
+        assert arr.shape == leaf.shape, (
+            f"{name}: checkpoint shape {arr.shape} != template {leaf.shape}")
+        leaves.append(arr.astype(leaf.dtype))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves)

@@ -1,0 +1,157 @@
+"""Jitted on-device mAP vs the host NumPy oracle.
+
+The host implementation (metrics/mean_average_precision.py) passes the 13
+reference oracles; here the jitted twin must match it on those oracles and
+on randomized prediction streams (including multi-batch streaming with ring
+evictions)."""
+
+import numpy as np
+import pytest
+
+from vision_transformer_detector_tpu.config import DetectorConfig
+from vision_transformer_detector_tpu.metrics.fast_map import (
+    JitMeanAveragePrecision)
+from vision_transformer_detector_tpu.metrics.mean_average_precision import (
+    MeanAveragePrecision)
+
+CFG = DetectorConfig()
+SHAPE = (10, 6)
+
+
+def empty_labels(batch):
+    label = np.ones((batch, *SHAPE), np.float32) * -8.0
+    label[..., 0] = 0.0
+    return label
+
+
+def both(label, prediction, batches=None):
+    """Run both metrics on the same stream, return (numpy, jit) results."""
+    host = MeanAveragePrecision(CFG)
+    device = JitMeanAveragePrecision(CFG)
+    stream = batches if batches is not None else [(label, prediction)]
+    for y_true, y_pred in stream:
+        host.update_state(y_true, y_pred, use_transform_predictions=False)
+        device.update_state(y_true, y_pred, use_transform_predictions=False)
+    return float(host.result()), float(device.result())
+
+
+# ---- the 13 oracle scenarios, asserted against their expected values ------
+
+def oracle_case(name):
+    label = empty_labels(1)
+    label[0, 1] = (1, 79, 10.2, 10.2, 10, 10)
+    if name == "perfect":
+        return label, label.copy(), 1.0
+    if name == "two_categories":
+        label[0, 2] = (1, 78, 9.5, 9.5, 5, 5)
+        return label, label.copy(), 1.0
+    if name == "iou_064":
+        pred = label.copy(); pred[..., -4:] = (9.5, 9.5, 8, 8)
+        return label, pred, 0.3
+    if name == "iou_049":
+        pred = label.copy(); pred[..., -4:] = (9.5, 9.5, 7, 7)
+        return label, pred, 0.0
+    if name == "low_objectness":
+        pred = label.copy(); pred[0, 1, 0] = 0.49
+        return label, pred, 0.0
+    if name == "false_positive":
+        pred = label.copy(); pred[0, 2] = (0.51, 79, 10.2, 10.2, 9.9, 9.9)
+        return label, pred, 0.75
+    if name == "low_class_conf":
+        pred = label.copy(); pred[0, 1, 1] = 79.255
+        return label, pred, 0.0
+    raise KeyError(name)
+
+
+@pytest.mark.parametrize("name", [
+    "perfect", "two_categories", "iou_064", "iou_049",
+    "low_objectness", "false_positive", "low_class_conf"])
+def test_single_image_oracles(name):
+    label, pred, expected = oracle_case(name)
+    host, device = both(label, pred)
+    assert host == pytest.approx(expected)
+    assert device == pytest.approx(expected, abs=1e-6)
+
+
+def test_two_image_oracles():
+    label = empty_labels(2)
+    label[0, 1] = (1, 79, 10.2, 10.2, 10, 10)
+    label[1, 0] = label[0, 1]
+    pred = label.copy()
+    pred[1, 0, 1] = 79.001
+    pred[1, 0, -4:] = (9.5, 9.5, 7, 7)
+    host, device = both(label, pred)
+    assert host == pytest.approx(0.375)
+    assert device == pytest.approx(0.375, abs=1e-6)
+
+
+def test_two_categories_two_images():
+    label = empty_labels(2)
+    label[0, 1] = (1, 79, 10.2, 10.2, 10, 10)
+    label[0, 2] = (1, 78, 10.2, 10.2, 10, 10)
+    label[1] = label[0]
+    pred = label.copy()
+    pred[0, 1, 1] = 79.005
+    pred[0, 1, -4:] = (9.5, 9.5, 7, 7)
+    host, device = both(label, pred)
+    assert host == pytest.approx(0.6875)
+    assert device == pytest.approx(0.6875, abs=1e-6)
+
+
+# ---- randomized equivalence ------------------------------------------------
+
+def random_stream(seed, batches=3, batch_size=2, num_classes=6):
+    """Plausible detection streams: boxes jittered around labels, a few
+    classes, some empty slots, some below-threshold predictions."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(batches):
+        label = np.full((batch_size, 17, 6), -8.0, np.float32)
+        label[..., 0] = 0.0
+        pred = label.copy()
+        for b in range(batch_size):
+            n = int(rng.integers(0, 6))
+            for s in range(n):
+                cls = float(rng.integers(0, num_classes))
+                h, w = rng.uniform(20, 120, 2)
+                cx = rng.uniform(w / 2, 608 - w / 2)
+                cy = rng.uniform(h / 2, 608 - h / 2)
+                label[b, s] = (1, cls, cx, cy, h, w)
+                # prediction: jittered box, sometimes wrong class/low conf
+                jitter = rng.uniform(0.7, 1.3)
+                obj = float(rng.uniform(0.3, 1.0))
+                cls_pred = cls + float(rng.uniform(-0.6, 0.6))
+                pred[b, s] = (obj, cls_pred, cx + rng.uniform(-15, 15),
+                              cy + rng.uniform(-15, 15), h * jitter,
+                              w * jitter)
+            # occasional extra false positive
+            if rng.uniform() < 0.5:
+                s = 16
+                pred[b, s] = (float(rng.uniform(0.5, 1.0)),
+                              float(rng.integers(0, num_classes)),
+                              300, 300, 50, 50)
+        out.append((label, pred))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_randomized_equivalence(seed):
+    stream = random_stream(seed)
+    host, device = both(None, None, batches=stream)
+    assert device == pytest.approx(host, abs=1e-5)
+
+
+def test_ring_eviction_equivalence():
+    """More related images than the ring holds (> latest_related_images)
+    exercises eviction on both sides."""
+    stream = random_stream(7, batches=6, batch_size=2, num_classes=2)
+    host, device = both(None, None, batches=stream)
+    assert device == pytest.approx(host, abs=1e-5)
+
+
+def test_reset_state():
+    metric = JitMeanAveragePrecision(CFG)
+    label, pred, _ = oracle_case("perfect")
+    metric.update_state(label, pred, use_transform_predictions=False)
+    metric.reset_state()
+    assert metric.result() == pytest.approx(0.0)

@@ -165,7 +165,8 @@ class Trainer:
                  steps_per_epoch: int = 1,
                  mesh=None,
                  checkpoint_dir: Optional[str] = None,
-                 metrics_path: Optional[str] = None):
+                 metrics_path: Optional[str] = None,
+                 fast_metric: bool = True):
         self.config = config
         self.loss_config = loss_config
         self.train_config = train_config
@@ -174,7 +175,13 @@ class Trainer:
         self.optimizer = make_optimizer(train_config, steps_per_epoch)
         self.train_step = make_train_step(config, loss_config, self.optimizer)
         self.eval_step = make_eval_step(config)
-        self.metric = MeanAveragePrecision(config)
+        if fast_metric:
+            # Jitted on-device metric (metrics/fast_map.py), equivalence-
+            # tested against the host oracle on the 13 reference cases.
+            from ..metrics.fast_map import JitMeanAveragePrecision
+            self.metric = JitMeanAveragePrecision(config)
+        else:
+            self.metric = MeanAveragePrecision(config)
         self.metrics = MetricsWriter(metrics_path)
         self.best_ap = 0.0
         self.ap_record = []
@@ -220,6 +227,13 @@ class Trainer:
         tc = self.train_config
         rng = jax.random.PRNGKey(tc.seed + 1)
         tic = time.time()
+
+        # Materialized datasets (lists of batches) are moved to device once;
+        # re-transferring identical host arrays every epoch would make the
+        # host->device link the bottleneck (the 8-image overfit feeds the
+        # same 35MB batch 12k times).
+        if isinstance(train_data, (list, tuple)):
+            train_data = [self._put_batch(*batch) for batch in train_data]
 
         for epoch in range(epochs):
             epoch_losses = []

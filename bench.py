@@ -23,6 +23,11 @@ BASELINE_IMG_PER_S = 4.0  # TF reference, ipynb cell 15 (~2 s / 8 images)
 
 def main() -> None:
     import jax
+
+    from vision_transformer_detector_tpu.utils.runtime import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from vision_transformer_detector_tpu.config import DetectorConfig

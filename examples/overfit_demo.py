@@ -59,6 +59,11 @@ def main() -> None:
 
     import jax
 
+    from vision_transformer_detector_tpu.utils.runtime import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
+
     from vision_transformer_detector_tpu.config import (
         DetectorConfig, LossConfig, TrainConfig)
     from vision_transformer_detector_tpu.train.trainer import Trainer

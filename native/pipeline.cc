@@ -1,0 +1,263 @@
+// Native data-loader core: JPEG decode + bilinear letterbox resize + pad.
+//
+// The reference's per-image path rides TensorFlow's C++ ops
+// (tf.io.decode_image + tf.image.resize_with_pad,
+// vision_transformer_utilities.py:418-449); this extension is the
+// TPU-native framework's equivalent: libjpeg decode and a half-pixel-center
+// bilinear resize into a zero-padded canvas, all outside the GIL so a host
+// worker pool scales with cores. The Python pipeline
+// (data/pipeline.py) uses it when built, falling back to PIL otherwise.
+//
+// Build: tools/build_native.sh (setuptools; links -ljpeg).
+
+#include <Python.h>
+
+#include <jpeglib.h>
+#include <setjmp.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void ErrorExit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+struct Decoded {
+  std::vector<unsigned char> rgb;  // oh * ow * 3
+  int oh = 0;
+  int ow = 0;
+  bool ok = false;
+  std::string error;
+};
+
+Decoded DecodeJpeg(const unsigned char* data, size_t size) {
+  Decoded out;
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = ErrorExit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    char msg[JMSG_LENGTH_MAX];
+    (*cinfo.err->format_message)(
+        reinterpret_cast<j_common_ptr>(&cinfo), msg);
+    out.error = msg;
+    jpeg_destroy_decompress(&cinfo);
+    return out;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, size);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  out.oh = static_cast<int>(cinfo.output_height);
+  out.ow = static_cast<int>(cinfo.output_width);
+  out.rgb.resize(static_cast<size_t>(out.oh) * out.ow * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    unsigned char* row = out.rgb.data()
+        + static_cast<size_t>(cinfo.output_scanline) * out.ow * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  out.ok = true;
+  return out;
+}
+
+// Half-pixel-center bilinear resize of an RGB buffer (the classic
+// tf.image.resize / jax.image.resize convention).
+void ResizeBilinear(const unsigned char* src, int sh, int sw,
+                    unsigned char* dst, int dh, int dw) {
+  const float scale_y = static_cast<float>(sh) / dh;
+  const float scale_x = static_cast<float>(sw) / dw;
+  for (int y = 0; y < dh; ++y) {
+    float sy = (y + 0.5f) * scale_y - 0.5f;
+    sy = std::max(0.0f, std::min(sy, static_cast<float>(sh - 1)));
+    const int y0 = static_cast<int>(sy);
+    const int y1 = std::min(y0 + 1, sh - 1);
+    const float fy = sy - y0;
+    for (int x = 0; x < dw; ++x) {
+      float sx = (x + 0.5f) * scale_x - 0.5f;
+      sx = std::max(0.0f, std::min(sx, static_cast<float>(sw - 1)));
+      const int x0 = static_cast<int>(sx);
+      const int x1 = std::min(x0 + 1, sw - 1);
+      const float fx = sx - x0;
+      for (int c = 0; c < 3; ++c) {
+        const float v00 = src[(static_cast<size_t>(y0) * sw + x0) * 3 + c];
+        const float v01 = src[(static_cast<size_t>(y0) * sw + x1) * 3 + c];
+        const float v10 = src[(static_cast<size_t>(y1) * sw + x0) * 3 + c];
+        const float v11 = src[(static_cast<size_t>(y1) * sw + x1) * 3 + c];
+        const float top = v00 + (v01 - v00) * fx;
+        const float bottom = v10 + (v11 - v10) * fx;
+        const float value = top + (bottom - top) * fy;
+        dst[(static_cast<size_t>(y) * dw + x) * 3 + c] =
+            static_cast<unsigned char>(std::lround(
+                std::max(0.0f, std::min(255.0f, value))));
+      }
+    }
+  }
+}
+
+// Decode + aspect-preserving resize + center pad into (th, tw, 3) zeros —
+// the letterbox geometry of data/annotations.py:letterbox_params
+// (vtu.py:305-323 semantics).
+Decoded DecodeLetterbox(const unsigned char* data, size_t size,
+                        int th, int tw) {
+  Decoded decoded = DecodeJpeg(data, size);
+  if (!decoded.ok) return decoded;
+
+  const int oh = decoded.oh;
+  const int ow = decoded.ow;
+  const float scale = std::max(static_cast<float>(oh) / th,
+                               static_cast<float>(ow) / tw);
+  const int rh = std::max(1, static_cast<int>(std::lround(oh / scale)));
+  const int rw = std::max(1, static_cast<int>(std::lround(ow / scale)));
+
+  std::vector<unsigned char> resized(static_cast<size_t>(rh) * rw * 3);
+  ResizeBilinear(decoded.rgb.data(), oh, ow, resized.data(), rh, rw);
+
+  Decoded out;
+  out.oh = oh;
+  out.ow = ow;
+  out.ok = true;
+  out.rgb.assign(static_cast<size_t>(th) * tw * 3, 0);
+  const int top = (th - rh) / 2;
+  const int left = (tw - rw) / 2;
+  for (int y = 0; y < rh; ++y) {
+    std::memcpy(out.rgb.data()
+                    + ((static_cast<size_t>(top) + y) * tw + left) * 3,
+                resized.data() + static_cast<size_t>(y) * rw * 3,
+                static_cast<size_t>(rw) * 3);
+  }
+  return out;
+}
+
+PyObject* MakeResult(const Decoded& d, int th, int tw) {
+  if (!d.ok) {
+    PyErr_SetString(PyExc_ValueError,
+                    ("jpeg decode failed: " + d.error).c_str());
+    return nullptr;
+  }
+  PyObject* bytes = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(d.rgb.data()),
+      static_cast<Py_ssize_t>(d.rgb.size()));
+  if (bytes == nullptr) return nullptr;
+  return Py_BuildValue("(Nii)", bytes, d.oh, d.ow);
+}
+
+// decode_letterbox(data: bytes, target_h: int, target_w: int)
+//   -> (canvas_bytes, orig_h, orig_w)
+PyObject* PyDecodeLetterbox(PyObject*, PyObject* args) {
+  Py_buffer buffer;
+  int th = 0, tw = 0;
+  if (!PyArg_ParseTuple(args, "y*ii", &buffer, &th, &tw)) return nullptr;
+  if (th <= 0 || tw <= 0) {
+    PyBuffer_Release(&buffer);
+    PyErr_SetString(PyExc_ValueError, "target size must be positive");
+    return nullptr;
+  }
+  Decoded result;
+  Py_BEGIN_ALLOW_THREADS
+  result = DecodeLetterbox(
+      static_cast<const unsigned char*>(buffer.buf),
+      static_cast<size_t>(buffer.len), th, tw);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&buffer);
+  return MakeResult(result, th, tw);
+}
+
+// decode_letterbox_batch(list[bytes], th, tw, num_threads)
+//   -> list[(canvas_bytes, oh, ow)]
+PyObject* PyDecodeLetterboxBatch(PyObject*, PyObject* args) {
+  PyObject* seq = nullptr;
+  int th = 0, tw = 0, num_threads = 0;
+  if (!PyArg_ParseTuple(args, "Oiii", &seq, &th, &tw, &num_threads))
+    return nullptr;
+  PyObject* fast = PySequence_Fast(seq, "expected a sequence of bytes");
+  if (fast == nullptr) return nullptr;
+  const Py_ssize_t n = PySequence_Fast_GET_SIZE(fast);
+
+  std::vector<std::string> inputs;
+  inputs.reserve(n);
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject* item = PySequence_Fast_GET_ITEM(fast, i);
+    char* data = nullptr;
+    Py_ssize_t size = 0;
+    if (PyBytes_AsStringAndSize(item, &data, &size) != 0) {
+      Py_DECREF(fast);
+      return nullptr;
+    }
+    inputs.emplace_back(data, static_cast<size_t>(size));
+  }
+  Py_DECREF(fast);
+
+  std::vector<Decoded> results(n);
+  const int workers = std::max(
+      1, std::min<int>(num_threads > 0
+                           ? num_threads
+                           : static_cast<int>(
+                                 std::thread::hardware_concurrency()),
+                       static_cast<int>(n)));
+  Py_BEGIN_ALLOW_THREADS {
+    std::vector<std::thread> pool;
+    std::atomic<Py_ssize_t> next{0};
+    for (int t = 0; t < workers; ++t) {
+      pool.emplace_back([&]() {
+        while (true) {
+          const Py_ssize_t i = next.fetch_add(1);
+          if (i >= n) break;
+          results[i] = DecodeLetterbox(
+              reinterpret_cast<const unsigned char*>(inputs[i].data()),
+              inputs[i].size(), th, tw);
+        }
+      });
+    }
+    for (auto& t : pool) t.join();
+  }
+  Py_END_ALLOW_THREADS
+
+  PyObject* out = PyList_New(n);
+  if (out == nullptr) return nullptr;
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject* item = MakeResult(results[i], th, tw);
+    if (item == nullptr) {
+      Py_DECREF(out);
+      return nullptr;
+    }
+    PyList_SET_ITEM(out, i, item);
+  }
+  return out;
+}
+
+PyMethodDef kMethods[] = {
+    {"decode_letterbox", PyDecodeLetterbox, METH_VARARGS,
+     "JPEG bytes -> (letterboxed uint8 HWC canvas bytes, orig_h, orig_w)"},
+    {"decode_letterbox_batch", PyDecodeLetterboxBatch, METH_VARARGS,
+     "Parallel batch decode: (list[bytes], th, tw, threads) -> list"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef kModule = {
+    PyModuleDef_HEAD_INIT, "_native_pipeline",
+    "Native JPEG decode + letterbox core for the input pipeline.",
+    -1, kMethods,
+};
+
+}  // namespace
+
+extern "C" PyMODINIT_FUNC PyInit__native_pipeline(void) {
+  return PyModule_Create(&kModule);
+}

@@ -1,0 +1,83 @@
+"""Native C++ decode/letterbox core vs the PIL path."""
+
+import numpy as np
+import pytest
+
+from vision_transformer_detector_tpu.config import DetectorConfig
+from vision_transformer_detector_tpu.data import pipeline
+
+native = pytest.importorskip(
+    "vision_transformer_detector_tpu._native._native_pipeline",
+    reason="native extension not built (tools/build_native.sh)")
+
+
+def _make_jpeg(tmp_path, shape=(48, 64), name="000000000042.jpg"):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    # Smooth gradient + blocks: JPEG-friendly content so decode differences
+    # between libjpeg paths stay tiny.
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([yy * 255 // h, xx * 255 // w,
+                    ((yy + xx) * 255) // (h + w)], axis=-1).astype(np.uint8)
+    img[10:30, 20:40] = rng.integers(0, 255, 3, np.uint8)
+    path = tmp_path / name
+    Image.fromarray(img).save(path, quality=95)
+    return str(path)
+
+
+def test_native_decode_shapes(tmp_path):
+    path = _make_jpeg(tmp_path)
+    cfg = DetectorConfig(image_size=(64, 64))
+    canvas, (oh, ow) = pipeline.load_and_letterbox_image(
+        path, cfg, normalize=False, use_native=True)
+    assert canvas.shape == (64, 64, 3)
+    assert canvas.dtype == np.uint8
+    assert (oh, ow) == (48, 64)
+    # Letterbox: 48x64 -> 48x64 resized, pad rows (64-48)//2=8 top/bottom.
+    assert canvas[:8].max() == 0 and canvas[-8:].max() == 0
+    assert canvas[8:-8].max() > 0
+
+
+def test_native_close_to_pil(tmp_path):
+    path = _make_jpeg(tmp_path)
+    cfg = DetectorConfig(image_size=(96, 96))
+    native_img, native_size = pipeline.load_and_letterbox_image(
+        path, cfg, normalize=False, use_native=True)
+    pil_img, pil_size = pipeline.load_and_letterbox_image(
+        path, cfg, normalize=False, use_native=False)
+    assert native_size == pil_size
+    # Same decode (both libjpeg); resize filters differ (half-pixel bilinear
+    # vs PIL triangle) so allow a loose but bounded pixel difference.
+    diff = np.abs(native_img.astype(int) - pil_img.astype(int))
+    assert float(np.mean(diff)) < 8.0
+    assert np.mean(diff > 32) < 0.05
+
+
+def test_native_batch_decode(tmp_path):
+    paths = [_make_jpeg(tmp_path, name=f"{i:012d}.jpg") for i in range(4)]
+    blobs = [open(p, "rb").read() for p in paths]
+    results = native.decode_letterbox_batch(blobs, 64, 64, 2)
+    assert len(results) == 4
+    for canvas_bytes, oh, ow in results:
+        assert (oh, ow) == (48, 64)
+        canvas = np.frombuffer(canvas_bytes, np.uint8).reshape(64, 64, 3)
+        assert canvas[8:-8].max() > 0
+
+
+def test_native_invalid_jpeg_raises():
+    with pytest.raises(ValueError):
+        native.decode_letterbox(b"not a jpeg", 64, 64)
+
+
+def test_dataset_uses_native(tmp_path):
+    """The file pipeline end-to-end with the native decoder."""
+    path = _make_jpeg(tmp_path)
+    cfg = DetectorConfig(image_size=(64, 64))
+    annotations = {"42": [[1, 32.0, 24.0, 10.0, 10.0, 100.0]]}
+    ds = pipeline.CocoDetectionDataset([path], annotations, cfg,
+                                       batch_size=1)
+    images, labels = next(iter(ds))
+    assert images.shape == (1, 64, 64, 3)
+    assert labels[0, 0, 0] == 1

@@ -270,6 +270,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from .utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     args.func(args)
 

@@ -30,6 +30,15 @@ import numpy as np
 from ..config import DetectorConfig
 from .annotations import AnnotationsDict, labels_from_annotations
 
+try:  # Native JPEG decode + letterbox core (native/pipeline.cc); optional.
+    from .._native import _native_pipeline  # type: ignore
+except ImportError:  # pragma: no cover - depends on tools/build_native.sh
+    _native_pipeline = None
+
+
+def native_available() -> bool:
+    return _native_pipeline is not None
+
 
 def list_image_paths(image_dir: str,
                      images_range: Optional[Tuple[int, Optional[int]]] = None,
@@ -58,13 +67,29 @@ def image_id_from_path(path: str) -> str:
 
 
 def load_and_letterbox_image(path: str, config: DetectorConfig,
-                             normalize: bool = True
+                             normalize: bool = True,
+                             use_native: Optional[bool] = None
                              ) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Decode + aspect-preserving resize + center pad (vtu.py:418-449).
 
     Returns the image (float32 in [-1,1] when ``normalize`` else uint8) and
-    the original (height, width) needed for the label transform.
+    the original (height, width) needed for the label transform. JPEGs go
+    through the native C++ core when built (native/pipeline.cc); everything
+    else (and fallback) uses PIL.
     """
+    if use_native is None:
+        use_native = _native_pipeline is not None
+    if use_native and _native_pipeline is not None and \
+            path.lower().endswith((".jpg", ".jpeg")):
+        mh, mw = config.image_size
+        with open(path, "rb") as f:
+            data = f.read()
+        canvas_bytes, oh, ow = _native_pipeline.decode_letterbox(data, mh, mw)
+        canvas = np.frombuffer(canvas_bytes, np.uint8).reshape(mh, mw, 3)
+        if not normalize:
+            return canvas, (oh, ow)
+        return normalize_image(canvas), (oh, ow)
+
     from PIL import Image
 
     with Image.open(path) as pil:

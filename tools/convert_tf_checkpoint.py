@@ -63,11 +63,20 @@ def read_keras_weights(path: str) -> Dict[str, np.ndarray]:
     return weights
 
 
+def _natural_key(name: str):
+    """Sort 'dense_10' after 'dense_9' (keras numbers anonymous layers;
+    lexicographic order breaks past _9)."""
+    import re
+    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", name)]
+
+
 def _match(weights: Dict[str, np.ndarray], *needles: str):
-    """All (name, array) whose path contains every needle, name-sorted."""
+    """All (name, array) whose path contains every needle, naturally
+    sorted by name."""
     hits = sorted(
-        (k, v) for k, v in weights.items()
-        if all(n in k for n in needles))
+        ((k, v) for k, v in weights.items()
+         if all(n in k for n in needles)),
+        key=lambda kv: _natural_key(kv[0]))
     return hits
 
 

@@ -144,6 +144,10 @@ def extract_patches(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     (vtd.py:276-280). SAME padding splits the remainder with the smaller
     half before (TF convention).
     """
+    if images.ndim != 4:
+        raise ValueError(
+            f"expected batched images (B, H, W, 3), got shape "
+            f"{images.shape}; add a leading batch axis")
     b, h, w, c = images.shape
     p = patch_size
     gh, gw = -(-h // p), -(-w // p)

@@ -92,3 +92,62 @@ def test_fused_dense_leading_axes():
     expected = mish(x @ w + b)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expected), atol=3e-5, rtol=3e-5)
+
+
+def test_flash_attention_gradients_match_reference():
+    """Custom VJP vs reference-attention autodiff (training path)."""
+    rngs = jax.random.split(jax.random.PRNGKey(3), 4)
+    shape = (2, 128, 2, 64)
+    q, k, v, g = (jax.random.normal(r, shape) for r in rngs)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128,
+                                       block_kv=128) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) * g)
+
+    grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(grads_flash, grads_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_flash_attention_grad_unaligned_seq():
+    """Gradient path with KV-padding masking active (N=200)."""
+    rngs = jax.random.split(jax.random.PRNGKey(4), 3)
+    shape = (1, 200, 2, 40)
+    q, k, v = (jax.random.normal(r, shape) for r in rngs)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128,
+                                       block_kv=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(grads_flash, grads_ref):
+        # squared loss amplifies fp accumulation-order noise slightly
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_remat_encoder_gradients():
+    """jax.checkpoint path produces finite grads (vit_l16_640 uses it)."""
+    from vision_transformer_detector_tpu.config import DetectorConfig
+    from vision_transformer_detector_tpu.models.vit_detector import (
+        forward, init_params)
+
+    cfg = DetectorConfig(
+        image_size=(32, 32), patch_size=16, embedding_dim=8, num_heads=2,
+        key_dim=4, encoder_blocks=2, encoder_mlp_layers=2,
+        head_last_units=8, head_layers=1, remat_encoder=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    grads = jax.grad(
+        lambda p: float(0) + jnp.sum(
+            forward(p, jnp.ones((1, 32, 32, 3)), cfg) ** 2))(params)
+    assert all(bool(jnp.all(jnp.isfinite(g)))
+               for g in jax.tree_util.tree_leaves(grads))

@@ -87,6 +87,8 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--markdown", action="store_true")
+    parser.add_argument("--single", action="store_true",
+                        help="run in-process (child mode)")
     args = parser.parse_args()
 
     from vision_transformer_detector_tpu.utils.runtime import (
@@ -94,9 +96,32 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    if args.single:
+        for name in args.presets.split(","):
+            print(json.dumps(
+                bench_config(name.strip(), args.batch_size, args.train)),
+                flush=True)
+        return
+
     rows = []
     for name in args.presets.split(","):
-        row = bench_config(name.strip(), args.batch_size, args.train)
+        # Each preset runs in its own process: isolates compilation state
+        # (cross-config jit caches have produced spurious linearization
+        # errors) and any OOM from the big configs.
+        import subprocess
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--presets", name.strip(),
+               "--batch-size", str(args.batch_size), "--single"]
+        if args.train:
+            cmd.append("--train")
+        result = subprocess.run(cmd, capture_output=True, text=True)
+        line = [l for l in result.stdout.splitlines()
+                if l.startswith("{")]
+        if not line:
+            print(json.dumps({"preset": name.strip(), "error":
+                              result.stderr.strip()[-300:]}), flush=True)
+            continue
+        row = json.loads(line[-1])
         rows.append(row)
         if not args.markdown:
             print(json.dumps(row), flush=True)

@@ -82,11 +82,72 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     Pads N to the block size and K to the MXU-friendly 64 minimum; zero
     head-dim padding is exact (contributes nothing to q.k or p@v), KV
-    padding is masked in-kernel.
+    padding is masked in-kernel. Differentiable: the backward pass
+    recomputes attention per (batch, head) group with fp32 statistics
+    (see _flash_bwd), so training composes with jax.grad/checkpoint.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    return _flash_attention_vjp(q, k, v, block_q, block_kv, interpret)
 
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_vjp(q, k, v, block_q, block_kv, interpret):
+    return _flash_forward(q, k, v, block_q, block_kv, interpret)
+
+
+def _flash_fwd(q, k, v, block_q, block_kv, interpret):
+    out = _flash_forward(q, k, v, block_q, block_kv, interpret)
+    return out, (q, k, v)
+
+
+def _flash_bwd(block_q, block_kv, interpret, residuals, g):
+    """Attention backward, recomputed per (batch*head) chunk.
+
+    Standard softmax-attention gradients with fp32 softmax statistics:
+      p  = softmax(q k^T)          ds = p * (dp - rowsum(dp * p))
+      dv = p^T g                   dq = ds k,  dk = ds^T q
+    Memory is bounded by chunking the fused batch*head axis through
+    lax.map (one N x N score block per head at a time). A dedicated Pallas
+    backward kernel can replace this without touching callers.
+    """
+    q, k, v = residuals
+    b, n, h, kdim = q.shape
+
+    def to_bh(t):
+        return t.transpose(0, 2, 1, 3).reshape(b * h, n, kdim)
+
+    qf, kf, vf, gf = (to_bh(t) for t in (q, k, v, g))
+
+    def one_head(args):
+        qi, ki, vi, gi = args
+        s = jnp.dot(qi.astype(jnp.float32), ki.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        dv = jnp.dot(p.T.astype(gi.dtype), gi,
+                     preferred_element_type=jnp.float32)
+        dp = jnp.dot(gi.astype(jnp.float32), vi.astype(jnp.float32).T,
+                     preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.dot(ds.astype(qi.dtype), ki,
+                     preferred_element_type=jnp.float32)
+        dk = jnp.dot(ds.T.astype(qi.dtype), qi,
+                     preferred_element_type=jnp.float32)
+        return (dq.astype(qi.dtype), dk.astype(ki.dtype),
+                dv.astype(vi.dtype))
+
+    dqf, dkf, dvf = jax.lax.map(one_head, (qf, kf, vf, gf))
+
+    def from_bh(t):
+        return t.reshape(b, h, n, kdim).transpose(0, 2, 1, 3)
+
+    return from_bh(dqf), from_bh(dkf), from_bh(dvf)
+
+
+_flash_attention_vjp.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _flash_forward(q, k, v, block_q, block_kv, interpret):
     b, n, h, kdim = q.shape
     block_q = min(block_q, _round_up(n, 128))
     block_kv = min(block_kv, _round_up(n, 128))

@@ -331,13 +331,20 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
     block_rngs = (jax.random.split(dropout_rng, n_blocks)
                   if dropout_rng is not None else [None] * n_blocks)
 
-    block_fn = _encoder_block
     if config.remat_encoder:
-        block_fn = jax.checkpoint(
-            _encoder_block, static_argnums=(2,), static_argnames=("train",))
+        # Close over the static arguments; jax.checkpoint in this JAX
+        # version takes only pytree positionals.
+        def block_fn(x, block, rng):
+            return _encoder_block(x, block, config, compute_dtype, rng,
+                                  train=train)
+        block_fn = jax.checkpoint(block_fn)
+    else:
+        def block_fn(x, block, rng):
+            return _encoder_block(x, block, config, compute_dtype, rng,
+                                  train=train)
 
     for block, rng in zip(params["encoder"], block_rngs):
-        x = block_fn(x, block, config, compute_dtype, rng, train=train)
+        x = block_fn(x, block, rng)
 
     # --- head (vtd.py:417-495) ----------------------------------------------
     x = _dense(x, params["head_token_dense"], compute_dtype)  # (B, P, M)

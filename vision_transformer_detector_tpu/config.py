@@ -72,6 +72,11 @@ class DetectorConfig:
     remat_encoder: bool = False        # jax.checkpoint each encoder block
     # Windowed attention for the high-res variant (BASELINE configs[4]).
     attention_window: Optional[int] = None  # window size in patch rows/cols
+    # Sequence parallelism: constrain encoder activations to shard the
+    # token axis over the 'model' mesh axis (pairs well with windowed
+    # attention, whose windows are independent). Requires tracing inside a
+    # Mesh context (the Trainer handles this).
+    sequence_sharding: bool = False
 
     # --- metric state sizes (vtd.py:30-37) ----------------------------------
     latest_related_images: int = 3

@@ -288,6 +288,20 @@ def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype):
     return out.reshape(b, n, h, k)
 
 
+def _maybe_shard_sequence(x, config: DetectorConfig):
+    """Sequence parallelism: shard (batch, tokens, dim) activations as
+    ('data', 'model', None) when enabled. A no-op without a mesh context;
+    under a Mesh, XLA partitions the token axis across the model axis and
+    inserts the collectives (SURVEY.md §2.4 SP row)."""
+    if not config.sequence_sharding:
+        return x
+    from jax.sharding import PartitionSpec
+
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+    return jax.lax.with_sharding_constraint(
+        x, PartitionSpec(DATA_AXIS, MODEL_AXIS, None))
+
+
 def _encoder_block(x, block, config: DetectorConfig, compute_dtype,
                    rng=None, train: bool = False):
     """Pre-LN MHA + descending mish pyramid, both residual (vtd.py:350-412)."""
@@ -325,6 +339,7 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
     # dim-1 positional embedding broadcasts over the channel axis
     # (vtd.py:291-307).
     x = x + params["position_embedding"].astype(compute_dtype)[None]
+    x = _maybe_shard_sequence(x, config)
 
     # --- encoder ------------------------------------------------------------
     n_blocks = len(params["encoder"])
@@ -345,6 +360,7 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
 
     for block, rng in zip(params["encoder"], block_rngs):
         x = block_fn(x, block, rng)
+        x = _maybe_shard_sequence(x, config)
 
     # --- head (vtd.py:417-495) ----------------------------------------------
     x = _dense(x, params["head_token_dense"], compute_dtype)  # (B, P, M)

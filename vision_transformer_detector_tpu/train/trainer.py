@@ -20,6 +20,7 @@ vision_transformer_detector.py:2063-2184):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -204,6 +205,13 @@ class Trainer:
             step = jax.device_put(step, mesh_lib.replicated(self.mesh))
         return {"params": params, "opt_state": opt_state, "step": step}
 
+    def _mesh_context(self):
+        """Trace/jit inside the Mesh context so bare-PartitionSpec sharding
+        constraints (e.g. sequence_sharding) resolve against it."""
+        if self.mesh is not None:
+            return self.mesh
+        return contextlib.nullcontext()
+
     def _put_batch(self, images, labels):
         images = jnp.asarray(images)
         labels = jnp.asarray(labels)
@@ -240,8 +248,9 @@ class Trainer:
             for images, labels in train_data:
                 images, labels = self._put_batch(images, labels)
                 rng, step_rng = jax.random.split(rng)
-                state, loss = self.train_step(
-                    state, images, labels, step_rng)
+                with self._mesh_context():
+                    state, loss = self.train_step(
+                        state, images, labels, step_rng)
                 epoch_losses.append(loss)
             epoch_loss = float(jnp.mean(jnp.stack(epoch_losses)))
             self.loss_record.append(epoch_loss)
@@ -251,8 +260,10 @@ class Trainer:
 
             if (eval_data is not None and epoch >= tc.epochs_warm_up
                     and (epoch - tc.epochs_warm_up) % tc.skip_epochs == 0):
-                ap = evaluate_map(state["params"], eval_data, self.config,
-                                  self.eval_step, self.metric)
+                with self._mesh_context():
+                    ap = evaluate_map(state["params"], eval_data,
+                                      self.config, self.eval_step,
+                                      self.metric)
                 self.ap_record.append(ap)
                 record["ap"] = ap
                 if ap > self.best_ap:

@@ -43,7 +43,7 @@ def main() -> None:
         image_size=(640, 640),
         compute_dtype="bfloat16" if on_tpu else "float32",
     )
-    batch_size = 64 if on_tpu else 2
+    batch_size = 128 if on_tpu else 2
 
     params = init_params(jax.random.PRNGKey(0), config)
     h, w = config.image_size

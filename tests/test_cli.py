@@ -1,0 +1,94 @@
+"""CLI smoke tests: every subcommand end-to-end on the tiny preset.
+
+These run the same flows the reference's notebook drives (train -> eval ->
+visualize -> plot -> stats), through the outermost public surface.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vision_transformer_detector_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    from PIL import Image, ImageDraw
+
+    root = tmp_path_factory.mktemp("coco")
+    images = root / "images"
+    images.mkdir()
+    rng = np.random.default_rng(0)
+    annotations = {}
+    for i in range(4):
+        img = Image.new("RGB", (96, 80), (20, 30, 40))
+        draw = ImageDraw.Draw(img)
+        x0, y0 = int(rng.integers(5, 40)), int(rng.integers(5, 30))
+        w, h = 30, 28
+        draw.rectangle((x0, y0, x0 + w, y0 + h), fill=(250, 220, 30))
+        img.save(images / f"{i:012d}.jpg")
+        annotations[str(i)] = [
+            [1, x0 + w / 2, y0 + h / 2, float(h), float(w), float(w * h)]]
+    ann_path = root / "ann.json"
+    ann_path.write_text(json.dumps(annotations))
+    return {"images": str(images), "annotations": str(ann_path),
+            "root": root}
+
+
+def common(dataset, tmp_path):
+    return ["--preset", "tiny_96", "--batch-size", "4",
+            "--checkpoint-dir", str(tmp_path / "ckpt")]
+
+
+def test_cli_train_eval_visualize_plot(dataset, tmp_path, capsys):
+    metrics = str(tmp_path / "metrics.jsonl")
+    main(["train",
+          "--train-images", dataset["images"],
+          "--train-annotations", dataset["annotations"],
+          "--val-images", dataset["images"],
+          "--val-annotations", dataset["annotations"],
+          "--epochs", "3", "--learning-rate", "1e-4",
+          "--epochs-warm-up", "1", "--skip-epochs", "1",
+          "--metrics", metrics, *common(dataset, tmp_path)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(out)
+    assert "best_ap" in result and np.isfinite(result["final_loss"])
+    assert os.path.exists(metrics)
+
+    main(["evaluate", "--val-images", dataset["images"],
+          "--val-annotations", dataset["annotations"],
+          "--restore", "final", *common(dataset, tmp_path)])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= result["mAP"] <= 1.0
+
+    main(["visualize", "--images", dataset["images"],
+          "--images-range", "0", "2", "--restore", "final",
+          "--output-dir", str(tmp_path / "viz"),
+          "--objectness-threshold", "0.0",
+          "--classification-threshold", "0.0",
+          *common(dataset, tmp_path)])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(result["written"]) == 2
+    assert all(os.path.exists(p) for p in result["written"])
+
+    main(["plot", "--metrics", metrics,
+          "--output", str(tmp_path / "curves.html")])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(result["written"])
+
+
+def test_cli_predict(dataset, tmp_path, capsys):
+    main(["predict", "--images", dataset["images"],
+          "--images-range", "0", "2", *common(dataset, tmp_path)])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert len(out) == 2
+    assert len(out[0]["detections"]) == 17
+
+
+def test_cli_stats(dataset, capsys):
+    main(["stats", "--annotations", dataset["annotations"]])
+    result = json.loads(capsys.readouterr().out)
+    assert result["images"] == 4
+    assert result["most_frequent_category"] == 1

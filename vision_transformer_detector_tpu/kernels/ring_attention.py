@@ -1,0 +1,107 @@
+"""Ring attention: context parallelism over the token axis.
+
+For the high-res variant's global attention (SURVEY.md §5 long-context:
+~4k tokens at 1024px/p16), the token axis is sharded across the 'model'
+mesh axis and K/V shards rotate around the ring while each device
+accumulates its queries' streaming-softmax statistics — attention memory
+and FLOPs divide by the ring size, and the K/V exchange rides ICI
+neighbour links (jax.lax.ppermute; XLA overlaps the collective with the
+local compute).
+
+This is the TPU-native answer to the "sequence/context parallelism" row of
+SURVEY.md §2.4 (absent in the reference). Windowed attention
+(models/vit_detector.py) covers the local-attention design point; ring
+attention covers exact global attention at sequence lengths that exceed
+one chip's appetite.
+
+Layout contract: inputs are (B, N, H, K) with any 1/sqrt(K) scaling
+applied by the caller (same contract as kernels/flash_attention.py);
+N must divide by the ring size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import MODEL_AXIS
+
+_NEG_INF = -1e30
+
+
+def _ring_attention_local(q, k, v, axis_name: str, axis_size: int):
+    """Runs inside shard_map: q/k/v are this device's token shards
+    (B, n_local, H, K). Rotates K/V ``axis_size`` times, accumulating
+    streaming-softmax statistics in fp32."""
+    b, n_q, h, kd = q.shape
+    q32 = q.astype(jnp.float32)
+
+    perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
+
+    m0 = jnp.full((b, h, n_q), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, n_q), jnp.float32)
+    acc0 = jnp.zeros((b, h, n_q, kd), jnp.float32)
+
+    def block(carry, k_blk, v_blk):
+        m, l, acc = carry
+        s = jnp.einsum("bnhk,bmhk->bhnm", q32, k_blk.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "bhnm,bmhk->bhnk", p.astype(v_blk.dtype), v_blk,
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    carry = (m0, l0, acc0)
+    k_cur, v_cur = k, v
+    for step in range(axis_size):
+        # Kick off the rotation before consuming the current block so XLA
+        # can overlap the ppermute with the local attention math.
+        if step + 1 < axis_size:
+            k_next = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_next = jax.lax.ppermute(v_cur, axis_name, perm)
+        carry = block(carry, k_cur, v_cur)
+        if step + 1 < axis_size:
+            k_cur, v_cur = k_next, v_next
+
+    _, l, acc = carry
+    out = acc / l[..., None]
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)  # (B, n_q, H, K)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))
+def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   mesh: Mesh,
+                   axis_name: str = MODEL_AXIS) -> jnp.ndarray:
+    """Exact global attention with the token axis sharded over
+    ``axis_name``. (B, N, H, K) in and out; N % ring_size == 0."""
+    try:
+        from jax import shard_map  # jax >= 0.7 top-level API
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    axis_size = mesh.shape[axis_name]
+    n = q.shape[1]
+    assert n % axis_size == 0, (
+        f"token axis {n} must divide ring size {axis_size}")
+
+    spec = P(None, axis_name, None, None)
+    fn = shard_map(
+        functools.partial(_ring_attention_local, axis_name=axis_name,
+                          axis_size=axis_size),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    sharding = NamedSharding(mesh, spec)
+    q = jax.device_put(q, sharding)
+    k = jax.device_put(k, sharding)
+    v = jax.device_put(v, sharding)
+    return fn(q, k, v)

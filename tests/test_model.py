@@ -126,3 +126,33 @@ def test_dropout_only_active_in_training():
     train_2 = forward(params, images, cfg, train=True,
                       dropout_rng=jax.random.PRNGKey(3))
     assert not np.allclose(np.asarray(train_1), np.asarray(train_2))
+
+
+def test_multi_scale_head():
+    """Multi-scale head (BASELINE configs[4]): pooled-scale features
+    concatenated per slot; forward shape unchanged."""
+    cfg = DetectorConfig(
+        image_size=(64, 64), patch_size=16, embedding_dim=16, num_heads=2,
+        key_dim=8, encoder_blocks=1, encoder_mlp_layers=2,
+        head_last_units=16, head_layers=2, head_scales=(1, 2))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert isinstance(params["head_token_dense"], list)
+    assert len(params["head_token_dense"]) == 2
+    # pyramid input dim: 4x4 grid -> 16 + 2x2 -> 4 = 20
+    assert params["head_mlp"][0]["kernel"].shape[0] == 20
+    logits = forward(params, jnp.ones((2, 64, 64, 3)), cfg)
+    assert logits.shape == (2, cfg.max_objects, 6)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_multi_scale_head_gradients():
+    cfg = DetectorConfig(
+        image_size=(64, 64), patch_size=16, embedding_dim=16, num_heads=2,
+        key_dim=8, encoder_blocks=1, encoder_mlp_layers=2,
+        head_last_units=16, head_layers=1, head_scales=(1, 2))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    grads = jax.grad(
+        lambda p: jnp.sum(forward(p, jnp.ones((1, 64, 64, 3)), cfg) ** 2)
+    )(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)

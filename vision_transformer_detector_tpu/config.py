@@ -54,6 +54,10 @@ class DetectorConfig:
     head_last_units: int = 136
     head_layers: int = 7
     head_block_repeats: int = 1
+    # Multi-scale head (BASELINE configs[4]): per-slot features gathered
+    # from the token grid average-pooled at these strides and concatenated.
+    # (1,) is the reference's single-scale head.
+    head_scales: Tuple[int, ...] = (1,)
 
     # --- activations / regularisation --------------------------------------
     use_mish: bool = True
@@ -208,6 +212,7 @@ def highres_1024() -> DetectorConfig:
         head_last_units=512, head_layers=3,
         compute_dtype="bfloat16", use_flash_attention=True,
         remat_encoder=True, attention_window=16,
+        head_scales=(1, 2, 4),  # multi-scale detection head
     )
 
 

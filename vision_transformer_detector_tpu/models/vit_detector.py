@@ -112,10 +112,21 @@ def init_params(rng: jax.Array, config: DetectorConfig) -> Params:
     params["encoder"] = blocks
 
     # --- head (vtd.py:417-495) ----------------------------------------------
-    params["head_token_dense"] = _dense_init(
-        next(keys), d, config.max_objects, dtype)
+    if config.head_scales == (1,):
+        params["head_token_dense"] = _dense_init(
+            next(keys), d, config.max_objects, dtype)
+        head_in_dim = config.num_patches
+    else:
+        # Multi-scale head: one token-dense per pooling scale; the per-slot
+        # feature is the concatenation over scales (BASELINE configs[4]).
+        gh, gw = config.grid_size
+        params["head_token_dense"] = [
+            _dense_init(next(keys), d, config.max_objects, dtype)
+            for _ in config.head_scales]
+        head_in_dim = sum(
+            (gh // s) * (gw // s) for s in config.head_scales)
     head_mlp = []
-    in_dim = config.num_patches
+    in_dim = head_in_dim
     for units in config.head_units:
         for _ in range(config.head_block_repeats):
             head_mlp.append(_dense_init(next(keys), in_dim, units, dtype))
@@ -322,6 +333,38 @@ def _encoder_block(x, block, config: DetectorConfig, compute_dtype,
     return x + side
 
 
+def _multi_scale_head_tokens(x, layers, config: DetectorConfig,
+                             compute_dtype):
+    """Multi-scale per-slot features (BASELINE configs[4]).
+
+    The token grid is average-pooled at each configured stride, projected
+    to the slot axis per scale, and concatenated along the per-slot feature
+    axis: coarse scales see large objects cheaply, the fine scale keeps
+    localisation detail. Output (B, max_objects, sum_s P_s). Strides that
+    do not divide the grid use VALID pooling (trailing rows/cols dropped at
+    that scale only), consistent with the floor-division param sizing in
+    init_params.
+    """
+    b, _, d = x.shape
+    gh, gw = config.grid_size
+    grid = x.reshape(b, gh, gw, d)
+    feats = []
+    for scale, layer in zip(config.head_scales, layers):
+        if scale == 1:
+            pooled = grid
+        else:
+            pooled = jax.lax.reduce_window(
+                grid.astype(jnp.float32), 0.0, jax.lax.add,
+                (1, scale, scale, 1), (1, scale, scale, 1), "VALID",
+            ) / float(scale * scale)
+            pooled = pooled.astype(grid.dtype)
+        ph, pw = gh // scale, gw // scale
+        tokens = pooled.reshape(b, ph * pw, d)
+        projected = _dense(tokens, layer, compute_dtype)   # (B, P_s, M)
+        feats.append(projected.transpose(0, 2, 1))          # (B, M, P_s)
+    return jnp.concatenate(feats, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -363,11 +406,16 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
         x = _maybe_shard_sequence(x, config)
 
     # --- head (vtd.py:417-495) ----------------------------------------------
-    x = _dense(x, params["head_token_dense"], compute_dtype)  # (B, P, M)
     b = x.shape[0]
-    # The reference uses keras Reshape (a plain reshape, NOT a transpose) to
-    # go (B, P, M) -> (B, M, P) (vtd.py:460-463); kept bit-identical.
-    x = x.reshape(b, config.max_objects, config.num_patches)
+    if config.head_scales == (1,):
+        x = _dense(x, params["head_token_dense"], compute_dtype)  # (B, P, M)
+        # The reference uses keras Reshape (a plain reshape, NOT a
+        # transpose) to go (B, P, M) -> (B, M, P) (vtd.py:460-463); kept
+        # bit-identical.
+        x = x.reshape(b, config.max_objects, config.num_patches)
+    else:
+        x = _multi_scale_head_tokens(x, params["head_token_dense"],
+                                     config, compute_dtype)
 
     head_rngs = (jax.random.split(jax.random.fold_in(dropout_rng, 7),
                                   len(params["head_mlp"]))

@@ -81,6 +81,11 @@ class DetectorConfig:
     # attention, whose windows are independent). Requires tracing inside a
     # Mesh context (the Trainer handles this).
     sequence_sharding: bool = False
+    # Exact global attention with the token axis sharded over the model
+    # mesh axis (kernels/ring_attention.py); requires passing a mesh to
+    # forward() (the Trainer does). Mutually exclusive with
+    # attention_window.
+    ring_attention: bool = False
 
     # --- metric state sizes (vtd.py:30-37) ----------------------------------
     latest_related_images: int = 3

@@ -76,6 +76,29 @@ def _ring_attention_local(q, k, v, axis_name: str, axis_size: int):
     return out.transpose(0, 2, 1, 3).astype(q.dtype)  # (B, n_q, H, K)
 
 
+def ring_attention_in_jit(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      mesh: Mesh,
+                      axis_name: str = MODEL_AXIS) -> jnp.ndarray:
+    """Ring attention for use INSIDE an enclosing jit (no device_put):
+    shard_map partitions the token axis over ``axis_name`` and GSPMD wires
+    the surrounding program around it."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    axis_size = mesh.shape[axis_name]
+    n = q.shape[1]
+    assert n % axis_size == 0, (
+        f"token axis {n} must divide ring size {axis_size}")
+    spec = P(None, axis_name, None, None)
+    fn = shard_map(
+        functools.partial(_ring_attention_local, axis_name=axis_name,
+                          axis_size=axis_size),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    return fn(q, k, v)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    mesh: Mesh,

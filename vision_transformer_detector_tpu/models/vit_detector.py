@@ -221,7 +221,7 @@ def _dropout(x, rate, rng, train):
 
 
 def _attention(x, mha, config: DetectorConfig, compute_dtype,
-               dropout_rng=None, train: bool = False):
+               dropout_rng=None, train: bool = False, mesh=None):
     """Multi-head self-attention (keras MHA semantics, vtd.py:364-369).
 
     Routes through the Pallas flash-attention kernel when
@@ -244,7 +244,12 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
     v = proj(mha["value"])
 
     window = config.attention_window
-    if window is not None:
+    if config.ring_attention and mesh is not None:
+        from ..kernels.ring_attention import ring_attention_in_jit
+        attn_out = ring_attention_in_jit(
+            q.astype(compute_dtype), key.astype(compute_dtype),
+            v.astype(compute_dtype), mesh)
+    elif window is not None:
         gh, gw = config.grid_size
         attn_out = _windowed_attention(
             q, key, v, gh, gw, window, config, compute_dtype)
@@ -314,7 +319,7 @@ def _maybe_shard_sequence(x, config: DetectorConfig):
 
 
 def _encoder_block(x, block, config: DetectorConfig, compute_dtype,
-                   rng=None, train: bool = False):
+                   rng=None, train: bool = False, mesh=None):
     """Pre-LN MHA + descending mish pyramid, both residual (vtd.py:350-412)."""
     rngs = jax.random.split(rng, 2 + len(block["mlp"])) if rng is not None \
         else [None] * (2 + len(block["mlp"]))
@@ -322,7 +327,7 @@ def _encoder_block(x, block, config: DetectorConfig, compute_dtype,
     side = x
     x = _layer_norm(x, block["ln1"])
     x = _attention(x, block["mha"], config, compute_dtype,
-                   dropout_rng=rngs[0], train=train)
+                   dropout_rng=rngs[0], train=train, mesh=mesh)
     x = x + side
 
     side = x
@@ -371,7 +376,8 @@ def _multi_scale_head_tokens(x, layers, config: DetectorConfig,
 
 def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
             train: bool = False,
-            dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+            dropout_rng: Optional[jax.Array] = None,
+            mesh=None) -> jnp.ndarray:
     """Full detector forward: ``(B, H, W, 3) -> (B, max_objects, 6)`` raw
     logits (sigmoid stays outside, vtd.py:618-619)."""
     compute_dtype = jnp.dtype(config.compute_dtype)
@@ -394,12 +400,12 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
         # version takes only pytree positionals.
         def block_fn(x, block, rng):
             return _encoder_block(x, block, config, compute_dtype, rng,
-                                  train=train)
+                                  train=train, mesh=mesh)
         block_fn = jax.checkpoint(block_fn)
     else:
         def block_fn(x, block, rng):
             return _encoder_block(x, block, config, compute_dtype, rng,
-                                  train=train)
+                                  train=train, mesh=mesh)
 
     for block, rng in zip(params["encoder"], block_rngs):
         x = block_fn(x, block, rng)

@@ -65,7 +65,8 @@ def _maybe_normalize(images: jnp.ndarray) -> jnp.ndarray:
 def make_train_step(config: DetectorConfig,
                     loss_config: LossConfig,
                     optimizer: optax.GradientTransformation,
-                    donate: bool = True):
+                    donate: bool = True,
+                    mesh=None):
     """Build the jitted train step. Sharding of inputs decides DP/TP; XLA
     emits the collectives."""
 
@@ -76,7 +77,7 @@ def make_train_step(config: DetectorConfig,
         def loss_fn(params):
             logits = forward(params, images, config,
                              train=config.dropout is not None,
-                             dropout_rng=rng)
+                             dropout_rng=rng, mesh=mesh)
             return detection_loss(labels, logits, config, loss_config)
 
         loss, grads = jax.value_and_grad(loss_fn)(state["params"])
@@ -96,12 +97,12 @@ def make_train_step(config: DetectorConfig,
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
-def make_eval_step(config: DetectorConfig):
+def make_eval_step(config: DetectorConfig, mesh=None):
     """Jitted forward + on-device decode -> (B, max_objects, 6) decoded."""
 
     def eval_step(params, images):
         images = _maybe_normalize(images)
-        logits = forward(params, images, config, train=False)
+        logits = forward(params, images, config, train=False, mesh=mesh)
         return transform_predictions(logits, config)
 
     return jax.jit(eval_step)
@@ -174,8 +175,9 @@ class Trainer:
         self.mesh = mesh
         self.checkpoint_dir = checkpoint_dir
         self.optimizer = make_optimizer(train_config, steps_per_epoch)
-        self.train_step = make_train_step(config, loss_config, self.optimizer)
-        self.eval_step = make_eval_step(config)
+        self.train_step = make_train_step(config, loss_config, self.optimizer,
+                                          mesh=mesh)
+        self.eval_step = make_eval_step(config, mesh=mesh)
         if fast_metric:
             # Jitted on-device metric (metrics/fast_map.py), equivalence-
             # tested against the host oracle on the 13 reference cases.

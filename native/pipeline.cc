@@ -78,35 +78,70 @@ Decoded DecodeJpeg(const unsigned char* data, size_t size) {
 }
 
 // Half-pixel-center bilinear resize of an RGB buffer (the classic
-// tf.image.resize / jax.image.resize convention).
+// tf.image.resize / jax.image.resize convention). Horizontal coefficients
+// are precomputed per destination column and each source row pair is
+// horizontally resampled once into float rows, so the inner loops are
+// tight multiply-adds the compiler can vectorise.
 void ResizeBilinear(const unsigned char* src, int sh, int sw,
                     unsigned char* dst, int dh, int dw) {
   const float scale_y = static_cast<float>(sh) / dh;
   const float scale_x = static_cast<float>(sw) / dw;
+
+  std::vector<int> x0s(dw), x1s(dw);
+  std::vector<float> fxs(dw);
+  for (int x = 0; x < dw; ++x) {
+    float sx = (x + 0.5f) * scale_x - 0.5f;
+    sx = std::max(0.0f, std::min(sx, static_cast<float>(sw - 1)));
+    x0s[x] = static_cast<int>(sx);
+    x1s[x] = std::min(x0s[x] + 1, sw - 1);
+    fxs[x] = sx - x0s[x];
+  }
+
+  // Horizontally-resampled rows, cached by source row index.
+  std::vector<float> row_a(dw * 3), row_b(dw * 3);
+  int cached_a = -1, cached_b = -1;
+
+  auto hresample = [&](int sy, std::vector<float>& out) {
+    const unsigned char* row = src + static_cast<size_t>(sy) * sw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const unsigned char* p0 = row + x0s[x] * 3;
+      const unsigned char* p1 = row + x1s[x] * 3;
+      const float fx = fxs[x];
+      float* o = out.data() + x * 3;
+      o[0] = p0[0] + (p1[0] - p0[0]) * fx;
+      o[1] = p0[1] + (p1[1] - p0[1]) * fx;
+      o[2] = p0[2] + (p1[2] - p0[2]) * fx;
+    }
+  };
+
   for (int y = 0; y < dh; ++y) {
     float sy = (y + 0.5f) * scale_y - 0.5f;
     sy = std::max(0.0f, std::min(sy, static_cast<float>(sh - 1)));
     const int y0 = static_cast<int>(sy);
     const int y1 = std::min(y0 + 1, sh - 1);
     const float fy = sy - y0;
-    for (int x = 0; x < dw; ++x) {
-      float sx = (x + 0.5f) * scale_x - 0.5f;
-      sx = std::max(0.0f, std::min(sx, static_cast<float>(sw - 1)));
-      const int x0 = static_cast<int>(sx);
-      const int x1 = std::min(x0 + 1, sw - 1);
-      const float fx = sx - x0;
-      for (int c = 0; c < 3; ++c) {
-        const float v00 = src[(static_cast<size_t>(y0) * sw + x0) * 3 + c];
-        const float v01 = src[(static_cast<size_t>(y0) * sw + x1) * 3 + c];
-        const float v10 = src[(static_cast<size_t>(y1) * sw + x0) * 3 + c];
-        const float v11 = src[(static_cast<size_t>(y1) * sw + x1) * 3 + c];
-        const float top = v00 + (v01 - v00) * fx;
-        const float bottom = v10 + (v11 - v10) * fx;
-        const float value = top + (bottom - top) * fy;
-        dst[(static_cast<size_t>(y) * dw + x) * 3 + c] =
-            static_cast<unsigned char>(std::lround(
-                std::max(0.0f, std::min(255.0f, value))));
+
+    if (cached_a != y0) {
+      if (cached_b == y0) {
+        std::swap(row_a, row_b);
+        std::swap(cached_a, cached_b);
+      } else {
+        hresample(y0, row_a);
+        cached_a = y0;
       }
+    }
+    if (cached_b != y1) {
+      hresample(y1, row_b);
+      cached_b = y1;
+    }
+
+    unsigned char* out = dst + static_cast<size_t>(y) * dw * 3;
+    const float* a = row_a.data();
+    const float* b = row_b.data();
+    const int n = dw * 3;
+    for (int i = 0; i < n; ++i) {
+      // Convex combination of uint8 values stays in [0, 255].
+      out[i] = static_cast<unsigned char>(a[i] + (b[i] - a[i]) * fy + 0.5f);
     }
   }
 }

@@ -78,7 +78,11 @@ def load_and_letterbox_image(path: str, config: DetectorConfig,
     else (and fallback) uses PIL.
     """
     if use_native is None:
-        use_native = _native_pipeline is not None
+        # The native core's edge is GIL-free scaling across host cores
+        # (measured: PIL's SIMD resize wins narrowly on one core,
+        # tools/bench_pipeline.py); prefer it only on multi-core hosts.
+        use_native = (_native_pipeline is not None
+                      and (os.cpu_count() or 1) >= 2)
     if use_native and _native_pipeline is not None and \
             path.lower().endswith((".jpg", ".jpeg")):
         mh, mw = config.image_size

@@ -155,3 +155,47 @@ def test_reset_state():
     metric.update_state(label, pred, use_transform_predictions=False)
     metric.reset_state()
     assert metric.result() == pytest.approx(0.0)
+
+
+def test_boundary_class_ids():
+    """Classes 0 and 79 (the -8 sentinel must not collide with class 0)."""
+    label = empty_labels(2)
+    label[0, 0] = (1, 0, 100.0, 100.0, 50.0, 50.0)
+    label[1, 0] = (1, 79, 200.0, 200.0, 40.0, 40.0)
+    pred = label.copy()
+    host, device = both(label, pred)
+    assert host == pytest.approx(1.0)
+    assert device == pytest.approx(1.0, abs=1e-6)
+
+
+def test_empty_stream():
+    """No labels, no positive predictions anywhere -> mAP 0, no NaN."""
+    label = empty_labels(2)
+    host, device = both(label, label.copy())
+    assert host == pytest.approx(0.0)
+    assert device == pytest.approx(0.0, abs=1e-6)
+
+
+def test_many_objects_same_class():
+    """More same-class labels than bboxes_per_image exercises the match cap
+    (vtd.py:1754-1758)."""
+    rng = np.random.default_rng(11)
+    label = np.full((1, 17, 6), -8.0, np.float32)
+    label[..., 0] = 0.0
+    for s in range(17):
+        h, w = rng.uniform(20, 60, 2)
+        cx = 30.0 + s * 33.0
+        cy = 300.0
+        label[0, s] = (1, 7, cx, cy, h, w)
+    pred = label.copy()
+    # jitter some boxes below/above the IoU threshold
+    pred[0, ::2, -2:] *= 0.65
+    host, device = both(label, pred)
+    assert device == pytest.approx(host, abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [10, 20, 30])
+def test_randomized_equivalence_more_classes(seed):
+    stream = random_stream(seed, batches=4, batch_size=3, num_classes=80)
+    host, device = both(None, None, batches=stream)
+    assert device == pytest.approx(host, abs=1e-5)

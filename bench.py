@@ -28,8 +28,6 @@ def main() -> None:
         enable_compilation_cache)
 
     enable_compilation_cache()
-    import jax.numpy as jnp
-
     from vision_transformer_detector_tpu.config import DetectorConfig
     from vision_transformer_detector_tpu.models.vit_detector import (
         forward, init_params)

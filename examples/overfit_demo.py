@@ -57,8 +57,6 @@ def main() -> None:
     parser.add_argument("--metrics", default="overfit_metrics.jsonl")
     args = parser.parse_args()
 
-    import jax
-
     from vision_transformer_detector_tpu.utils.runtime import (
         enable_compilation_cache)
 

@@ -2,7 +2,6 @@
 tensors, pipeline batching — golden-checked against the shipped
 val_annotations_dict.json where available."""
 
-import json
 import os
 
 import numpy as np

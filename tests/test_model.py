@@ -4,7 +4,6 @@ windowed attention, head reshape semantics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from vision_transformer_detector_tpu.config import DetectorConfig
 from vision_transformer_detector_tpu.models.vit_detector import (

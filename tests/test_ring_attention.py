@@ -2,7 +2,6 @@
 virtual 8-device mesh."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -23,7 +23,7 @@ it is dead code in the reference — the anchor-free loss never uses it
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,7 @@ from .config import DetectorConfig, LossConfig
 from .data.annotations import AnnotationsDict
 from .data.pipeline import CocoDetectionDataset, list_image_paths
 from .metrics.mean_average_precision import MeanAveragePrecision  # noqa: F401
-from .models.vit_detector import count_params, forward, init_params
+from .models.vit_detector import count_params, init_params
 from .ops.decode import transform_predictions as _transform
 from .ops.geometry import ciou as ciou_calculator  # noqa: F401
 from .ops.geometry import enclosing_diagonal as diagonal_calculator  # noqa: F401,E501

@@ -20,7 +20,6 @@ path); tests/test_kernels.py checks the kernel against it.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

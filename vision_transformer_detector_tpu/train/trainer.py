@@ -24,7 +24,6 @@ import contextlib
 import json
 import os
 import time
-from functools import partial
 from typing import Any, Dict, Iterable, Optional, Tuple
 
 import jax
@@ -214,6 +213,19 @@ class Trainer:
             return self.mesh
         return contextlib.nullcontext()
 
+    def _device_prefetch(self, iterator):
+        """Yield device-resident batches one step ahead: the async
+        device_put of batch i+1 overlaps the train step on batch i (the
+        device half of the host+device prefetch pipeline)."""
+        previous = None
+        for batch in iterator:
+            current = self._put_batch(*batch)
+            if previous is not None:
+                yield previous
+            previous = current
+        if previous is not None:
+            yield previous
+
     def _put_batch(self, images, labels):
         images = jnp.asarray(images)
         labels = jnp.asarray(labels)
@@ -245,9 +257,12 @@ class Trainer:
         if isinstance(train_data, (list, tuple)):
             train_data = [self._put_batch(*batch) for batch in train_data]
 
+        materialized = isinstance(train_data, (list, tuple))
         for epoch in range(epochs):
             epoch_losses = []
-            for images, labels in train_data:
+            epoch_data = (train_data if materialized
+                          else self._device_prefetch(train_data))
+            for images, labels in epoch_data:
                 images, labels = self._put_batch(images, labels)
                 rng, step_rng = jax.random.split(rng)
                 with self._mesh_context():

@@ -10,7 +10,7 @@ PIL and writes PNGs. Threshold semantics match visualize_predictions
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -151,3 +151,31 @@ def test_remat_encoder_gradients():
             forward(p, jnp.ones((1, 32, 32, 3)), cfg) ** 2))(params)
     assert all(bool(jnp.all(jnp.isfinite(g)))
                for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_pallas_backward_path_matches_reference():
+    """The alternative Pallas two-kernel backward (USE_PALLAS_BACKWARD)
+    must match reference gradients too."""
+    from vision_transformer_detector_tpu.kernels import flash_attention as fa
+
+    rngs = jax.random.split(jax.random.PRNGKey(5), 4)
+    shape = (1, 200, 2, 40)  # unaligned: exercises padding masks
+    q, k, v, g = (jax.random.normal(r, shape) for r in rngs)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128,
+                                       block_kv=128) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) * g)
+
+    old = fa.USE_PALLAS_BACKWARD
+    fa.USE_PALLAS_BACKWARD = True
+    try:
+        grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.USE_PALLAS_BACKWARD = old
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(grads_flash, grads_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)

@@ -68,6 +68,110 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
 
 
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                      block_kv: int, seq_len: int):
+    """Forward kernel that also emits logsumexp(qk) per query row — the
+    residual the Pallas backward needs."""
+    q = q_ref[0].astype(jnp.float32)
+    block_q = q.shape[0]
+    kv_total = k_ref.shape[1]
+    num_kv = kv_total // block_kv
+
+    def body(i, carry):
+        m_prev, l_prev, acc_prev = carry
+        k = k_ref[0, pl.ds(i * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(i * block_kv, block_kv), :]
+        s = jnp.dot(q, k.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
+        kv_pos = (i * block_kv
+                  + jax.lax.broadcasted_iota(jnp.int32,
+                                             (block_q, block_kv), 1))
+        s = jnp.where(kv_pos < seq_len, s, _NEG_INF)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc_new = acc_prev * alpha[:, None] + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q,), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    acc0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+
+    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+    # lse is stored 8-sublane-replicated: Mosaic requires block sublane
+    # dims divisible by 8.
+    lse = m + jnp.log(l)
+    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, *,
+               block_kv: int, seq_len: int):
+    """dq = sum_kv ds @ k with ds = p * (dp - delta), p = exp(s - lse)."""
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    block_q = q.shape[0]
+    kv_total = k_ref.shape[1]
+    num_kv = kv_total // block_kv
+
+    def body(i, acc):
+        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        kv_pos = (i * block_kv
+                  + jax.lax.broadcasted_iota(jnp.int32,
+                                             (block_q, block_kv), 1))
+        s = jnp.where(kv_pos < seq_len, s, _NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        return acc + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    acc0 = jnp.zeros_like(q)
+    acc = jax.lax.fori_loop(0, num_kv, body, acc0)
+    dq_ref[0] = acc.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, block_q: int, seq_len: int):
+    """dk/dv for one KV tile: stream query blocks, transpose-form math."""
+    k = k_ref[0].astype(jnp.float32)   # (bkv, K)
+    v = v_ref[0].astype(jnp.float32)
+    block_kv = k.shape[0]
+    q_total = q_ref.shape[1]
+    num_q = q_total // block_q
+
+    kv_base = pl.program_id(1) * block_kv
+    kv_pos = kv_base + jax.lax.broadcasted_iota(
+        jnp.int32, (block_kv, block_q), 0)
+
+    def body(j, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
+        g = g_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(j * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(j * block_q, block_q)]
+        s_t = jnp.dot(k, q.T, preferred_element_type=jnp.float32)
+        s_t = jnp.where(kv_pos < seq_len, s_t, _NEG_INF)
+        p_t = jnp.exp(s_t - lse[None, :])
+        dv_acc = dv_acc + jnp.dot(p_t, g,
+                                  preferred_element_type=jnp.float32)
+        dp_t = jnp.dot(v, g.T, preferred_element_type=jnp.float32)
+        ds_t = p_t * (dp_t - delta[None, :])
+        dk_acc = dk_acc + jnp.dot(ds_t, q,
+                                  preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((block_kv, k.shape[-1]), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_q, body, (zeros, zeros))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -95,20 +199,104 @@ def _flash_attention_vjp(q, k, v, block_q, block_kv, interpret):
     return _flash_forward(q, k, v, block_q, block_kv, interpret)
 
 
+# Backward implementation selector: the Pallas two-kernel backward (dq +
+# dkv with logsumexp residuals) vs the per-head chunked jnp recomputation.
+# Both are numerics-tested; the default is chosen by TPU measurement:
+# chunked wins at ViT-L/16 640px (432 ms vs 558 ms per train step) because
+# XLA pipelines the per-head recomputation well, so it stays the default
+# (PERFORMANCE.md kernel-selection notes).
+USE_PALLAS_BACKWARD = False
+
+
 def _flash_fwd(q, k, v, block_q, block_kv, interpret):
+    if USE_PALLAS_BACKWARD:
+        out, lse = _flash_forward(q, k, v, block_q, block_kv, interpret,
+                                  with_lse=True)
+        return out, (q, k, v, out, lse)
     out = _flash_forward(q, k, v, block_q, block_kv, interpret)
-    return out, (q, k, v)
+    return out, (q, k, v, None, None)
 
 
 def _flash_bwd(block_q, block_kv, interpret, residuals, g):
+    q, k, v, out, lse = residuals
+    if USE_PALLAS_BACKWARD:
+        return _flash_bwd_pallas(q, k, v, out, lse, g,
+                                 block_q, block_kv, interpret)
+    return _flash_bwd_chunked((q, k, v), g)
+
+
+def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret):
+    """Two-kernel flash backward with saved logsumexp.
+
+    delta = rowsum(g * out) (the softmax-jacobian correction) is cheap
+    elementwise jnp; dq streams KV tiles per query block, dk/dv stream
+    query blocks per KV tile. All statistics fp32.
+    """
+    b, n, h, kdim = q.shape
+    bh = b * h
+    block_q = min(block_q, _round_up(n, 128))
+    block_kv = min(block_kv, _round_up(n, 128))
+    n_pad = _round_up(n, max(block_q, block_kv))
+    k_pad = max(64, _round_up(kdim, 64))
+
+    def prep(t):
+        t = t.transpose(0, 2, 1, 3).reshape(bh, n, kdim)
+        return jnp.pad(t, ((0, 0), (0, n_pad - n), (0, k_pad - kdim)))
+
+    qf, kf, vf, gf = prep(q), prep(k), prep(v), prep(g)
+    # delta per query row; zero on padded rows since g is zero there.
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = delta.transpose(0, 2, 1).reshape(bh, n)
+    delta = jnp.pad(delta, ((0, 0), (0, n_pad - n)))
+    # 8-sublane replication (Mosaic tile constraints; see _flash_kernel_lse)
+    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, n_pad))
+    lse_p = lse  # already (bh, 8, n_pad) from the forward
+
+    row_spec_q = pl.BlockSpec((1, 8, block_q), lambda bh_, i: (bh_, 0, i),
+                              memory_space=pltpu.VMEM)
+    full_row_spec = pl.BlockSpec((1, 8, n_pad), lambda bh_, i: (bh_, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    tile_q = pl.BlockSpec((1, block_q, k_pad), lambda bh_, i: (bh_, i, 0),
+                          memory_space=pltpu.VMEM)
+    tile_kv = pl.BlockSpec((1, block_kv, k_pad), lambda bh_, i: (bh_, i, 0),
+                           memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((1, n_pad, k_pad), lambda bh_, i: (bh_, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, block_kv=block_kv, seq_len=n),
+        grid=(bh, n_pad // block_q),
+        in_specs=[tile_q, full, full, tile_q, row_spec_q, row_spec_q],
+        out_specs=tile_q,
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, k_pad), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse_p, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, block_q=block_q, seq_len=n),
+        grid=(bh, n_pad // block_kv),
+        in_specs=[full, tile_kv, tile_kv, full, full_row_spec,
+                  full_row_spec],
+        out_specs=(tile_kv, tile_kv),
+        out_shape=(jax.ShapeDtypeStruct((bh, n_pad, k_pad), k.dtype),
+                   jax.ShapeDtypeStruct((bh, n_pad, k_pad), v.dtype)),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse_p, delta)
+
+    def unprep(t):
+        return t[:, :n, :kdim].reshape(b, h, n, kdim).transpose(0, 2, 1, 3)
+
+    return unprep(dq), unprep(dk), unprep(dv)
+
+
+def _flash_bwd_chunked(residuals, g):
     """Attention backward, recomputed per (batch*head) chunk.
 
     Standard softmax-attention gradients with fp32 softmax statistics:
       p  = softmax(q k^T)          ds = p * (dp - rowsum(dp * p))
       dv = p^T g                   dq = ds k,  dk = ds^T q
     Memory is bounded by chunking the fused batch*head axis through
-    lax.map (one N x N score block per head at a time). A dedicated Pallas
-    backward kernel can replace this without touching callers.
+    lax.map (one N x N score block per head at a time).
     """
     q, k, v = residuals
     b, n, h, kdim = q.shape
@@ -146,7 +334,8 @@ def _flash_bwd(block_q, block_kv, interpret, residuals, g):
 _flash_attention_vjp.defvjp(_flash_fwd, _flash_bwd)
 
 
-def _flash_forward(q, k, v, block_q, block_kv, interpret):
+def _flash_forward(q, k, v, block_q, block_kv, interpret,
+                   with_lse: bool = False):
     b, n, h, kdim = q.shape
     block_q = min(block_q, _round_up(n, 128))
     block_kv = min(block_kv, _round_up(n, 128))
@@ -160,30 +349,50 @@ def _flash_forward(q, k, v, block_q, block_kv, interpret):
     qp, kp, vp = prep(q), prep(k), prep(v)
 
     grid = (b * h, n_pad // block_q)
-    kernel = functools.partial(
-        _flash_kernel, block_kv=block_kv, seq_len=n)
+    in_specs = [
+        pl.BlockSpec((1, block_q, k_pad_dim), lambda bh, i: (bh, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, k_pad_dim), lambda bh, i: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, k_pad_dim), lambda bh, i: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_tile = pl.BlockSpec(
+        (1, block_q, k_pad_dim), lambda bh, i: (bh, i, 0),
+        memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=4 * b * h * n * n * kdim,
+        bytes_accessed=3 * b * h * n * kdim * q.dtype.itemsize
+        + b * h * n * kdim * q.dtype.itemsize,
+        transcendentals=b * h * n * n,
+    )
+
+    if with_lse:
+        out, lse = pl.pallas_call(
+            functools.partial(_flash_kernel_lse, block_kv=block_kv,
+                              seq_len=n),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(out_tile,
+                       pl.BlockSpec((1, 8, block_q),
+                                    lambda bh, i: (bh, 0, i),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(
+                jax.ShapeDtypeStruct((b * h, n_pad, k_pad_dim), q.dtype),
+                jax.ShapeDtypeStruct((b * h, 8, n_pad), jnp.float32)),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qp, kp, vp)
+        out = out[:, :n, :kdim].reshape(b, h, n, kdim).transpose(0, 2, 1, 3)
+        return out, lse
 
     out = pl.pallas_call(
-        kernel,
+        functools.partial(_flash_kernel, block_kv=block_kv, seq_len=n),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, k_pad_dim), lambda bh, i: (bh, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, k_pad_dim), lambda bh, i: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, k_pad_dim), lambda bh, i: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, k_pad_dim), lambda bh, i: (bh, i, 0),
-            memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_tile,
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad, k_pad_dim), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * n * n * kdim,
-            bytes_accessed=3 * b * h * n * kdim * q.dtype.itemsize
-            + b * h * n * kdim * q.dtype.itemsize,
-            transcendentals=b * h * n * n,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(qp, kp, vp)
 

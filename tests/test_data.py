@@ -32,11 +32,31 @@ VAL_DICT_PATH = "/root/reference/val_annotations_dict.json"
 def test_category_table():
     assert len(COCO_CATEGORIES) == 80
     # The model id of a category never changes (vtu.py:261-263):
-    # toothbrush is 79 in the model, 91 in COCO.
+    # toothbrush is 79 in the model, 90 in COCO (full_categories.csv last
+    # row: "79.0,90.0,toothbrush,indoor"; COCO detection has no id 91).
     assert MODEL_ID_TO_NAME[79] == "toothbrush"
-    assert COCO_ID_TO_MODEL_ID[91] == 79
+    assert COCO_ID_TO_MODEL_ID[90] == 79
+    assert COCO_ID_TO_MODEL_ID[85] == 74  # clock
+    assert 91 not in COCO_ID_TO_MODEL_ID
     assert MODEL_ID_TO_NAME[0] == "person"
     assert COCO_ID_TO_MODEL_ID[1] == 0
+
+
+def test_category_table_matches_reference_csv():
+    """Golden check of the full embedded table against the reference CSV."""
+    csv_path = "/root/reference/full_categories.csv"
+    if not os.path.exists(csv_path):
+        pytest.skip("reference csv not mounted")
+    with open(csv_path) as f:
+        header = f.readline()
+        assert "id_in_model" in header
+        for line in f:
+            model_id_s, coco_id_s, name, supercat = \
+                line.rstrip("\n").split(",")
+            model_id = int(float(model_id_s))
+            coco_id = int(float(coco_id_s))
+            assert COCO_CATEGORIES[model_id] == (coco_id, name, supercat)
+            assert COCO_ID_TO_MODEL_ID[coco_id] == model_id
 
 
 def test_build_annotations_dict():

@@ -90,12 +90,12 @@ COCO_CATEGORIES: Tuple[Tuple[int, str, str], ...] = (
     (81, "sink", "appliance"),
     (82, "refrigerator", "appliance"),
     (84, "book", "indoor"),
-    (86, "clock", "indoor"),
-    (87, "vase", "indoor"),
-    (88, "scissors", "indoor"),
-    (89, "teddy bear", "indoor"),
-    (90, "hair drier", "indoor"),
-    (91, "toothbrush", "indoor"),
+    (85, "clock", "indoor"),
+    (86, "vase", "indoor"),
+    (87, "scissors", "indoor"),
+    (88, "teddy bear", "indoor"),
+    (89, "hair drier", "indoor"),
+    (90, "toothbrush", "indoor"),
 )
 
 # Default detection set: all 80 names (vision_transformer_utilities.py:36-49).

@@ -127,6 +127,78 @@ def test_dropout_only_active_in_training():
     assert not np.allclose(np.asarray(train_1), np.asarray(train_2))
 
 
+def test_attention_dropout_each_mode():
+    """keras MHA dropout is honoured (not silently dropped) on every
+    attention path (vtd.py:364-369): einsum, flash (falls back to the exact
+    einsum path), windowed (per-window prob dropout); ring raises."""
+    import pytest
+
+    base = DetectorConfig(
+        image_size=(64, 64), patch_size=16, embedding_dim=16, num_heads=2,
+        key_dim=8, encoder_blocks=1, encoder_mlp_layers=2,
+        head_last_units=16, head_layers=1, dropout=0.5)
+    params = init_params(jax.random.PRNGKey(0), base)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+
+    for cfg in (base,
+                base.replace(use_flash_attention=True),
+                base.replace(attention_window=2)):
+        t1 = forward(params, images, cfg, train=True,
+                     dropout_rng=jax.random.PRNGKey(2))
+        t2 = forward(params, images, cfg, train=True,
+                     dropout_rng=jax.random.PRNGKey(3))
+        assert not np.allclose(np.asarray(t1), np.asarray(t2)), cfg
+        assert bool(jnp.all(jnp.isfinite(t1)))
+        # eval is deterministic and dropout-free
+        e1 = forward(params, images, cfg, train=False)
+        e2 = forward(params, images, cfg, train=False)
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    # flash falls back to the einsum path under training dropout: with the
+    # SAME rng both must produce identical logits.
+    flash = base.replace(use_flash_attention=True)
+    out_e = forward(params, images, base, train=True,
+                    dropout_rng=jax.random.PRNGKey(5))
+    out_f = forward(params, images, flash, train=True,
+                    dropout_rng=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(out_e), np.asarray(out_f))
+
+    ring = base.replace(ring_attention=True)
+    from vision_transformer_detector_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh(data=1, model=2, devices=jax.devices()[:2])
+    with pytest.raises(NotImplementedError):
+        forward(params, images, ring, train=True,
+                dropout_rng=jax.random.PRNGKey(2), mesh=mesh)
+
+
+def test_train_step_with_dropout_each_mode():
+    """One full training step with dropout configured under each attention
+    mode (VERDICT round-1 item 5)."""
+    from vision_transformer_detector_tpu.config import (
+        LossConfig, TrainConfig)
+    from vision_transformer_detector_tpu.train.trainer import Trainer
+
+    base = DetectorConfig(
+        image_size=(32, 32), patch_size=16, embedding_dim=8, num_heads=2,
+        key_dim=4, encoder_blocks=1, encoder_mlp_layers=2,
+        head_last_units=8, head_layers=1, dropout=0.3)
+    images = np.random.default_rng(0).uniform(
+        -1, 1, (2, 32, 32, 3)).astype(np.float32)
+    labels = np.full((2, base.max_objects, 6), -8.0, np.float32)
+    labels[..., 0] = 0.0
+    labels[:, 0] = (1, 3, 16.0, 16.0, 10.0, 10.0)
+
+    for cfg in (base,
+                base.replace(use_flash_attention=True),
+                base.replace(attention_window=2)):
+        trainer = Trainer(cfg, LossConfig(), TrainConfig(learning_rate=1e-3))
+        state = trainer.init_state()
+        state, loss = trainer.train_step(
+            state, jnp.asarray(images), jnp.asarray(labels),
+            jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss)), cfg
+
+
 def test_multi_scale_head():
     """Multi-scale head (BASELINE configs[4]): pooled-scale features
     concatenated per slot; forward shape unchanged."""

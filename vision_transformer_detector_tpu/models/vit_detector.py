@@ -244,7 +244,17 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
     v = proj(mha["value"])
 
     window = config.attention_window
+    # keras MHA applies dropout to the post-softmax probabilities whenever
+    # configured (vtd.py:364-369); never silently drop it on an alternate
+    # attention path.
+    dropping = (train and config.dropout not in (None, 0.0)
+                and dropout_rng is not None)
     if config.ring_attention and mesh is not None:
+        if dropping:
+            raise NotImplementedError(
+                "attention dropout is not implemented for ring attention; "
+                "set dropout=None or disable ring_attention for training "
+                "with dropout")
         from ..kernels.ring_attention import ring_attention_in_jit
         attn_out = ring_attention_in_jit(
             q.astype(compute_dtype), key.astype(compute_dtype),
@@ -252,8 +262,12 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
     elif window is not None:
         gh, gw = config.grid_size
         attn_out = _windowed_attention(
-            q, key, v, gh, gw, window, config, compute_dtype)
-    elif config.use_flash_attention:
+            q, key, v, gh, gw, window, config, compute_dtype,
+            dropout_rng=dropout_rng if dropping else None, train=train)
+    elif config.use_flash_attention and not dropping:
+        # The Pallas kernel has no in-kernel RNG; under training dropout the
+        # einsum path below keeps the exact keras probability-dropout
+        # semantics (flash stays the inference/no-dropout fast path).
         from ..kernels.flash_attention import flash_attention
         attn_out = flash_attention(
             q.astype(compute_dtype), key.astype(compute_dtype),
@@ -274,13 +288,16 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
     return out.astype(compute_dtype)
 
 
-def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype):
+def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype,
+                        dropout_rng=None, train: bool = False):
     """Non-overlapping local window attention over the patch grid.
 
     The token axis is reshaped to (gh/w, w, gw/w, w) windows; attention runs
     within each (w*w)-token window. This is the high-res sequence story
     (SURVEY.md §5 long-context): at 1024px/p16 the 4,096-token quadratic
-    attention becomes 16 windows of 256 tokens.
+    attention becomes 16 windows of 256 tokens. Training dropout applies to
+    the per-window probabilities (keras MHA semantics, vtd.py:364-369,
+    restricted to the local windows).
     """
     b, n, h, k = q.shape
     assert gh % window == 0 and gw % window == 0, (
@@ -296,6 +313,7 @@ def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype):
     scores = jnp.einsum("bwnhk,bwmhk->bwhnm", qw, kw,
                         preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1)
+    probs = _dropout(probs, config.dropout, dropout_rng, train)
     out = jnp.einsum("bwhnm,bwmhk->bwnhk", probs.astype(compute_dtype),
                      vw.astype(compute_dtype),
                      preferred_element_type=jnp.float32)

@@ -68,14 +68,45 @@ def test_transform_predictions_default_config():
 
 
 def test_learning_rate_step_decay_pure():
+    """Keras LearningRateScheduler convention: the CURRENT lr is fed back
+    each epoch, and the decay fires only AT the exact boundary epochs
+    (vtd.py:714-718 uses ==), so a single call never compounds decays."""
     kwargs = dict(epochs_first_lr_decay=10, epochs_second_lr_decay=20,
                   epochs_third_lr_decay=30, rate_lr_decay=0.1)
     assert api.learning_rate_step_decay(5, 1.0, **kwargs) == 1.0
     assert api.learning_rate_step_decay(10, 1.0, **kwargs) == pytest.approx(0.1)
-    assert api.learning_rate_step_decay(30, 1.0, **kwargs) == pytest.approx(0.01)
-    assert api.learning_rate_step_decay(60, 1.0, **kwargs) == pytest.approx(1e-3)
+    # Non-boundary epochs past a boundary leave the fed-back lr unchanged.
+    assert api.learning_rate_step_decay(11, 0.1, **kwargs) == pytest.approx(0.1)
+    assert api.learning_rate_step_decay(30, 0.1, **kwargs) == pytest.approx(0.01)
     assert api.learning_rate_step_decay(
-        60, 1.0, allowed_decay_times=1, **kwargs) == pytest.approx(0.1)
+        60, 1.0, allowed_decay_times=1, **kwargs) == 1.0
+
+    # Simulated keras feedback loop over 70 epochs: three decays total, at
+    # epochs 10, 30 (=10+20) and 60 (=10+20+30).
+    lr = 1.0
+    trajectory = {}
+    for epoch in range(70):
+        lr = api.learning_rate_step_decay(epoch, lr, **kwargs)
+        trajectory[epoch] = lr
+    assert trajectory[9] == 1.0
+    assert trajectory[10] == pytest.approx(0.1)
+    assert trajectory[29] == pytest.approx(0.1)
+    assert trajectory[30] == pytest.approx(0.01)
+    assert trajectory[59] == pytest.approx(0.01)
+    assert trajectory[69] == pytest.approx(1e-3)
+
+    # The optax schedule used for actual training matches the same
+    # trajectory (one step per epoch).
+    from vision_transformer_detector_tpu.config import TrainConfig
+    from vision_transformer_detector_tpu.train.optimizer import (
+        make_lr_schedule)
+    schedule = make_lr_schedule(TrainConfig(
+        learning_rate=1.0, epochs_first_lr_decay=10,
+        epochs_second_lr_decay=20, epochs_third_lr_decay=30,
+        rate_lr_decay=0.1))
+    for epoch in (9, 10, 29, 30, 59, 69):
+        assert float(schedule(epoch)) == pytest.approx(
+            trajectory[epoch]), epoch
 
 
 def test_check_weights(detector):

@@ -121,3 +121,14 @@ def test_trainer_fit_smoke(tmp_path):
     assert len(trainer.loss_record) == 3
     assert len(trainer.ap_record) == 3
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_fit_rejects_exhausted_generator():
+    """A one-shot generator passed as train_data yields zero batches from
+    epoch 2 on; the trainer must raise a descriptive error instead of an
+    opaque jnp.stack([]) failure (round-1 advisor finding)."""
+    trainer = Trainer(TINY, LOSS, TC)
+    state = trainer.init_state()
+    one_shot = iter([_batch()])
+    with pytest.raises(ValueError, match="re-iterable"):
+        trainer.fit(state, one_shot, epochs=2)

@@ -151,15 +151,20 @@ def learning_rate_step_decay(epoch: int, lr: float,
                              rate_lr_decay: float,
                              allowed_decay_times: int = 3) -> float:
     """Pure-function twin of the reference's scheduler (vtd.py:696-728);
-    the stateful _allowed_decay_times global becomes an argument (each of
-    the <= 3 boundaries decays once)."""
+    the stateful _allowed_decay_times global becomes an argument.
+
+    Keras ``LearningRateScheduler`` convention (how the reference uses it,
+    ipynb cell 7): called once per epoch with the CURRENT lr fed back, so
+    the decay fires only AT the exact boundary epoch (vtd.py:714-718 uses
+    ``==``), multiplying the incoming lr once per boundary. The budget is
+    consumed in chronological boundary order.
+    """
     boundaries = [epochs_first_lr_decay]
     boundaries.append(boundaries[-1] + epochs_second_lr_decay)
     boundaries.append(boundaries[-1] + epochs_third_lr_decay)
     boundaries = boundaries[: max(0, allowed_decay_times)]
-    for boundary in boundaries:
-        if epoch >= boundary:
-            lr = lr * rate_lr_decay
+    if epoch in boundaries:
+        lr = lr * rate_lr_decay
     return lr
 
 

@@ -43,7 +43,10 @@ def make_optimizer(config: TrainConfig,
     schedule = make_lr_schedule(config, steps_per_epoch)
     return optax.chain(
         optax.clip(config.clip_gradient_value),
-        optax.adam(schedule),
+        # keras Adam default epsilon is 1e-7 (optax's is 1e-8); matched so
+        # the reference's training dynamics carry over for loss-curve
+        # overlays.
+        optax.adam(schedule, eps=1e-7),
     )
 
 

@@ -260,15 +260,23 @@ class Trainer:
         materialized = isinstance(train_data, (list, tuple))
         for epoch in range(epochs):
             epoch_losses = []
+            # Both branches yield device-resident batches already (the
+            # materialized list was put once before the loop; the streaming
+            # path puts inside _device_prefetch).
             epoch_data = (train_data if materialized
                           else self._device_prefetch(train_data))
             for images, labels in epoch_data:
-                images, labels = self._put_batch(images, labels)
                 rng, step_rng = jax.random.split(rng)
                 with self._mesh_context():
                     state, loss = self.train_step(
                         state, images, labels, step_rng)
                 epoch_losses.append(loss)
+            if not epoch_losses:
+                raise ValueError(
+                    f"train_data yielded no batches in epoch {epoch}; pass "
+                    "a re-iterable dataset (a list of batches or a dataset "
+                    "object), not a one-shot generator that is already "
+                    "exhausted")
             epoch_loss = float(jnp.mean(jnp.stack(epoch_losses)))
             self.loss_record.append(epoch_loss)
 

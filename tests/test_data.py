@@ -97,6 +97,32 @@ def test_golden_val_annotations_dict():
     assert (labels[:, 0] == 1).sum() == min(len(records), 17)
 
 
+def test_annotation_diagnostics():
+    """Degenerate-box fixes and negative coordinates are reported
+    (vtu.py:154-166, 182-186)."""
+    from vision_transformer_detector_tpu.data.annotations import (
+        AnnotationDiagnostics)
+
+    raw = {"annotations": [
+        {"image_id": 200365, "category_id": 53,
+         "bbox": [5.0, 5.0, 10.0, 0.0]},              # degenerate height
+        {"image_id": 285, "category_id": 3,
+         "bbox": [5.0, 5.0, 0.0, 10.0]},              # degenerate width
+        {"image_id": 42, "category_id": 1,
+         "bbox": [-2.0, 3.0, 10.0, 10.0]},            # negative coordinate
+        {"image_id": 42, "category_id": 2,
+         "bbox": [1.0, 1.0, 4.0, 4.0]},               # clean
+    ]}
+    diag = AnnotationDiagnostics()
+    build_annotations_dict(raw, diagnostics=diag)
+    assert diag.summary() == {"fixed_boxes": 2, "negative_coordinates": 1}
+    # Reference fixed_records row shape: [dim, index, image_id,
+    # category_id, cx, cy] (vtu.py:158-166).
+    assert diag.fixed_boxes[0] == ["Height", 0, "200365", 53, 10.0, 5.0]
+    assert diag.fixed_boxes[1] == ["Width", 1, "285", 3, 5.0, 10.0]
+    assert diag.negative_coordinates[0] == [2, "42", 1, -2.0, 3.0]
+
+
 def test_letterbox_params():
     # Wide image: width-bound scale, vertical blanks (vtu.py:314-317).
     scale, blank_h, blank_w = letterbox_params((480, 640), (608, 608))

@@ -199,3 +199,28 @@ def test_randomized_equivalence_more_classes(seed):
     stream = random_stream(seed, batches=4, batch_size=3, num_classes=80)
     host, device = both(None, None, batches=stream)
     assert device == pytest.approx(host, abs=1e-5)
+
+
+def test_max_iou_tie_equivalence():
+    """Two predictions tie at max IoU with one label box: the reference
+    (vtd.py:1694-1752) removes ALL tied boxes and takes the first one's
+    confidence. The jitted matcher must agree with the host oracle
+    (round-1 advisor finding: argmax-only removal diverged)."""
+    label = empty_labels(1)
+    label[0, 0] = (1, 5, 100.0, 100.0, 40.0, 40.0)
+    label[0, 1] = (1, 5, 300.0, 300.0, 30.0, 30.0)
+
+    pred = empty_labels(1)
+    pred[..., :] = -8.0
+    # Slots 0 and 1: identical boxes (exact IoU tie) overlapping label 0,
+    # different class confidences (5.1 vs 4.9 -> conf 0.8).
+    pred[0, 0] = (0.9, 5.1, 100.0, 100.0, 40.0, 40.0)
+    pred[0, 1] = (0.9, 4.9, 100.0, 100.0, 40.0, 40.0)
+    # Slot 2 matches label 1.
+    pred[0, 2] = (0.9, 5.0, 300.0, 300.0, 30.0, 30.0)
+
+    host, device = both(label, pred)
+    assert device == pytest.approx(host, abs=1e-6)
+    # The tie consumed BOTH boxes: no leftover false positive, so with both
+    # labels matched perfectly at high IoU the AP is well above zero.
+    assert host > 0.5

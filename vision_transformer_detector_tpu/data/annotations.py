@@ -23,6 +23,7 @@ Replaces the reference's import-time annotation parsing
 from __future__ import annotations
 
 import json
+import logging
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -32,18 +33,46 @@ from .categories import COCO_ID_TO_MODEL_ID
 
 AnnotationsDict = Dict[str, List[List[float]]]
 
+logger = logging.getLogger(__name__)
+
+
+class AnnotationDiagnostics:
+    """What the parse fixed or warned about (vtu.py:154-166, 182-186).
+
+    ``fixed_boxes`` rows mirror the reference's fixed_records:
+    ``[dimension ('Width'|'Height'), annotation_index, image_id,
+    category_id, center_x, center_y]``. ``negative_coordinates`` rows are
+    ``[annotation_index, image_id, category_id, bbox_x, bbox_y]``.
+    """
+
+    def __init__(self):
+        self.fixed_boxes: List[list] = []
+        self.negative_coordinates: List[list] = []
+
+    def summary(self) -> Dict[str, int]:
+        return {"fixed_boxes": len(self.fixed_boxes),
+                "negative_coordinates": len(self.negative_coordinates)}
+
 
 def build_annotations_dict(raw: dict,
-                           area_descending: bool = True) -> AnnotationsDict:
+                           area_descending: bool = True,
+                           diagnostics: Optional[AnnotationDiagnostics] = None
+                           ) -> AnnotationsDict:
     """COCO instances dict -> annotation dict (vtu.py:82-210).
 
     Each annotation becomes ``[category_id_in_coco, center_x, center_y,
     height, width, bbox_area]``; per-image lists are sorted by area
     (descending by default, BBOX_AREA_DESCENDING at vtu.py:51-53).
+
+    Pass an ``AnnotationDiagnostics`` to collect which degenerate boxes
+    were fixed and which annotations carry negative coordinates — the
+    reference records/prints these (vtu.py:154-166, 182-186); negative
+    coordinates are also logged either way.
     """
     annotations_dict: AnnotationsDict = {}
-    for each in raw["annotations"]:
+    for i, each in enumerate(raw["annotations"]):
         image_id = str(each["image_id"])
+        category_id = each["category_id"]
         bbox = each["bbox"]
         top_left_x, top_left_y, width, height = bbox
 
@@ -53,12 +82,30 @@ def build_annotations_dict(raw: dict,
         # not lost (vtu.py:154-166).
         if np.isclose(width, 0):
             width = 1
+            if diagnostics is not None:
+                diagnostics.fixed_boxes.append(
+                    ["Width", i, image_id, category_id, center_x, center_y])
         elif np.isclose(height, 0):
             height = 1
+            if diagnostics is not None:
+                diagnostics.fixed_boxes.append(
+                    ["Height", i, image_id, category_id, center_x, center_y])
         area = round(width * height, 1)
 
         annotations_dict.setdefault(image_id, []).append(
-            [each["category_id"], center_x, center_y, height, width, area])
+            [category_id, center_x, center_y, height, width, area])
+
+        # The reference warns on negative top-left coordinates
+        # (vtu.py:182-186); kept, but through logging instead of print.
+        if top_left_x < 0 or top_left_y < 0:
+            logger.warning(
+                "Bbox error! Annotation index: %d, image_id: %s, "
+                "category_id: %s: bbox coordinates are smaller than 0 "
+                "(bbox[0]=%s, bbox[1]=%s)",
+                i, image_id, category_id, top_left_x, top_left_y)
+            if diagnostics is not None:
+                diagnostics.negative_coordinates.append(
+                    [i, image_id, category_id, top_left_x, top_left_y])
 
     reverse = bool(area_descending)
     for key in annotations_dict:
@@ -74,12 +121,14 @@ def load_annotations_dict(path: str) -> AnnotationsDict:
 
 
 def build_annotations_from_instances(path: str,
-                                     area_descending: bool = True
+                                     area_descending: bool = True,
+                                     diagnostics: Optional[
+                                         AnnotationDiagnostics] = None
                                      ) -> AnnotationsDict:
     """Parse instances_{train,val}2017.json from disk."""
     with open(path) as f:
         raw = json.load(f)
-    return build_annotations_dict(raw, area_descending)
+    return build_annotations_dict(raw, area_descending, diagnostics)
 
 
 def save_annotations_dict(annotations: AnnotationsDict, path: str) -> None:

@@ -109,16 +109,19 @@ def _one_class_buffer(label_cat, label_boxes_sorted, label_count,
         ious = iou(jnp.broadcast_to(lbox, (m, 4)), boxes_avail)
         max_iou = jnp.max(ious)
         hit = (max_iou > 0.5) & label_valid[i] & (n_matched < nb)
-        # argmax = first position attaining the max (matches the
-        # isclose-then-first-row selection at vtd.py:1694-1706).
-        pos = jnp.argmax(ious)
+        # The reference selects EVERY box whose IoU is isclose to the max,
+        # takes the first such row's confidence, and removes them all
+        # (vtd.py:1694-1752); the host oracle does the same
+        # (mean_average_precision.py position/isclose clearing).
+        tie_mask = jnp.isclose(ious, max_iou)
+        pos = jnp.argmax(tie_mask)  # first tied slot
         conf = pred_conf[pos]
         matched_conf = jnp.where(
             hit, matched_conf.at[n_matched].set(conf), matched_conf)
         matched_iou = jnp.where(
             hit, matched_iou.at[n_matched].set(max_iou), matched_iou)
         boxes_avail = jnp.where(
-            hit & (jnp.arange(m) == pos)[:, None], -8.0, boxes_avail)
+            hit & tie_mask[:, None], -8.0, boxes_avail)
         n_matched = n_matched + jnp.where(hit, 1, 0)
         return boxes_avail, matched_conf, matched_iou, n_matched
 

@@ -87,6 +87,52 @@ def test_cli_predict(dataset, tmp_path, capsys):
     assert len(out[0]["detections"]) == 17
 
 
+def test_cli_sweep_synthetic(tmp_path, capsys):
+    """One command reproduces a 2x2 mini-sweep with the records table
+    (replaces the notebook's nested sweep loops, ipynb cells 6/7/9)."""
+    out_dir = str(tmp_path / "sweep")
+    main(["sweep", "--preset", "tiny_96", "--batch-size", "2",
+          "--synthetic", "--epochs", "2",
+          "--sweep", "embedding_dim=8,16",
+          "--sweep", "learning_rate=8e-5,4e-5",
+          "--out-dir", out_dir])
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    assert summary["records"] == 4
+    # Table header carries the swept columns + records columns.
+    assert "embedding_dim" in out[0] and "lowest_loss" in out[0]
+    records_path = os.path.join(out_dir, "records.jsonl")
+    with open(records_path) as f:
+        records = [json.loads(line) for line in f]
+    assert len(records) == 4
+    assert {(r["embedding_dim"], r["learning_rate"]) for r in records} == {
+        (8, 8e-5), (8, 4e-5), (16, 8e-5), (16, 4e-5)}
+    assert all(np.isfinite(r["final_loss"]) for r in records)
+    assert all(os.path.exists(r["metrics_path"]) for r in records)
+
+
+def test_cli_sweep_dataset(dataset, tmp_path, capsys):
+    """Sweep over real dataset files with eval (best_AP column live)."""
+    out_dir = str(tmp_path / "sweepd")
+    main(["sweep", "--preset", "tiny_96", "--batch-size", "4",
+          "--epochs", "2", "--epochs-warm-up", "0", "--skip-epochs", "1",
+          "--train-images", dataset["images"],
+          "--train-annotations", dataset["annotations"],
+          "--val-images", dataset["images"],
+          "--val-annotations", dataset["annotations"],
+          "--sweep", "learning_rate=1e-4",
+          "--out-dir", out_dir])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["records"] == 1
+    assert 0.0 <= summary["best_AP"] <= 1.0
+
+
+def test_sweep_rejects_unknown_param(tmp_path):
+    from vision_transformer_detector_tpu.train.sweep import split_overrides
+    with pytest.raises(KeyError, match="not a field"):
+        split_overrides({"nonexistent_param": 1})
+
+
 def test_cli_stats(dataset, capsys):
     main(["stats", "--annotations", dataset["annotations"]])
     result = json.loads(capsys.readouterr().out)

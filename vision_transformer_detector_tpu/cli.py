@@ -188,6 +188,59 @@ def cmd_visualize(args) -> None:
     print(json.dumps({"written": list(written)}))
 
 
+def _parse_sweep_value(text: str):
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        return text  # bare strings (e.g. compute_dtype=bfloat16)
+
+
+def cmd_sweep(args) -> None:
+    from .train.sweep import format_records, run_sweep
+
+    config = _build_config(args)
+    train_config = TrainConfig(
+        learning_rate=args.learning_rate, batch_size=args.batch_size,
+        epochs=args.epochs, epochs_warm_up=args.epochs_warm_up,
+        skip_epochs=args.skip_epochs, seed=args.seed)
+
+    grid = {}
+    for spec in args.sweep:
+        name, _, values = spec.partition("=")
+        if not values:
+            raise SystemExit(
+                f"--sweep expects PARAM=V1,V2,... got {spec!r}")
+        grid[name] = [_parse_sweep_value(v) for v in values.split(",")]
+
+    if args.synthetic:
+        from .data.pipeline import synthetic_batches
+
+        def make_data(cfg, tc):
+            data = list(synthetic_batches(
+                cfg, batch_size=tc.batch_size,
+                num_batches=args.synthetic_batches, seed=tc.seed))
+            return data, data
+    else:
+        def make_data(cfg, tc):
+            batch_args = argparse.Namespace(**vars(args))
+            train_data = _build_dataset(
+                batch_args, cfg, args.train_images, args.train_annotations,
+                shuffle=args.shuffle)
+            eval_data = None
+            if args.val_images and args.val_annotations:
+                eval_data = _build_dataset(batch_args, cfg, args.val_images,
+                                           args.val_annotations)
+            return train_data, eval_data
+
+    records = run_sweep(
+        grid, make_data, base_config=config, base_train_config=train_config,
+        epochs=args.epochs, out_dir=args.out_dir, mesh=_maybe_mesh(args))
+    print(format_records(records))
+    print(json.dumps({"records": len(records),
+                      "out_dir": args.out_dir,
+                      "best_AP": max(r["best_AP"] for r in records)}))
+
+
 def cmd_stats(args) -> None:
     from .data.annotations import load_annotations_dict
     from .data.statistics import (
@@ -254,6 +307,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--objectness-threshold", type=float, default=0.5)
     p.add_argument("--classification-threshold", type=float, default=0.5)
     p.set_defaults(func=cmd_visualize)
+
+    p = sub.add_parser(
+        "sweep", help="hyperparameter grid sweep (ipynb cells 6/7/9)")
+    common(p)
+    p.add_argument("--sweep", action="append", required=True,
+                   metavar="PARAM=V1,V2",
+                   help="sweep axis; repeatable; values parsed as JSON "
+                        "(e.g. --sweep patch_size=16,17 "
+                        "--sweep learning_rate=8e-5,4e-5)")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--learning-rate", type=float, default=8e-5)
+    p.add_argument("--epochs-warm-up", type=int, default=0)
+    p.add_argument("--skip-epochs", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default="sweep")
+    p.add_argument("--train-images")
+    p.add_argument("--train-annotations")
+    p.add_argument("--shuffle", action="store_true")
+    p.add_argument("--val-images")
+    p.add_argument("--val-annotations")
+    p.add_argument("--synthetic", action="store_true",
+                   help="sweep on synthetic batches (smoke/benchmarking)")
+    p.add_argument("--synthetic-batches", type=int, default=1)
+    p.set_defaults(func=cmd_sweep)
 
     p = sub.add_parser("stats", help="COCO dataset statistics")
     p.add_argument("--annotations", required=True)

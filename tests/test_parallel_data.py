@@ -26,3 +26,79 @@ def test_global_batches_iterator():
     images, labels = batches[0]
     assert images.sharding.spec[0] == DATA_AXIS
     assert labels.shape == (8, 17, 6)
+
+
+def test_make_array_from_process_local_data_real_call():
+    """Drive the actual multi-host assembly API with our batch sharding
+    (single-process degenerate call: local data IS the global batch)."""
+    import jax
+
+    from vision_transformer_detector_tpu.parallel.mesh import batch_sharding
+
+    mesh = create_mesh(data=8, model=1)
+    local = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    arr = jax.make_array_from_process_local_data(batch_sharding(mesh), local)
+    assert arr.shape == (8, 4)
+    assert arr.sharding.spec[0] == DATA_AXIS
+    np.testing.assert_array_equal(np.asarray(arr), local)
+
+
+def test_multi_host_branch_routing(monkeypatch):
+    """With process_count > 1 global_batch_from_local must route through
+    jax.make_array_from_process_local_data (round-1: this branch never
+    executed in CI)."""
+    import jax
+
+    mesh = create_mesh(data=8, model=1)
+    local = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+
+    real = jax.make_array_from_process_local_data
+    calls = []
+
+    def spy(sharding, local_data, **kw):
+        calls.append(local_data.shape)
+        # jax's internal process bookkeeping is untouched by the
+        # monkeypatch below, so the real call still assembles correctly.
+        return real(sharding, local_data, **kw)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "make_array_from_process_local_data", spy)
+    arr = global_batch_from_local(mesh, local)
+    assert calls == [(8, 4)]
+    np.testing.assert_array_equal(np.asarray(arr), local)
+
+
+def test_global_batch_feeds_train_step():
+    """A multi-host-assembled batch drives one jitted train step on the
+    (data x model) mesh end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_transformer_detector_tpu.config import (
+        DetectorConfig, LossConfig, TrainConfig)
+    from vision_transformer_detector_tpu.parallel.mesh import batch_sharding
+    from vision_transformer_detector_tpu.train.trainer import Trainer
+
+    mesh = create_mesh(data=4, model=2)
+    cfg = DetectorConfig(
+        image_size=(32, 32), patch_size=16, embedding_dim=8, num_heads=2,
+        key_dim=4, encoder_blocks=1, encoder_mlp_layers=2,
+        head_last_units=8, head_layers=1)
+    trainer = Trainer(cfg, LossConfig(), TrainConfig(learning_rate=1e-3),
+                      mesh=mesh)
+    state = trainer.init_state()
+
+    rng = np.random.default_rng(0)
+    images = jax.make_array_from_process_local_data(
+        batch_sharding(mesh),
+        rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+    labels_np = np.full((8, cfg.max_objects, 6), -8.0, np.float32)
+    labels_np[..., 0] = 0.0
+    labels_np[:, 0] = (1, 3, 16.0, 16.0, 10.0, 10.0)
+    labels = jax.make_array_from_process_local_data(
+        batch_sharding(mesh), labels_np)
+
+    with mesh:
+        state, loss = trainer.train_step(
+            state, images, labels, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))

@@ -29,14 +29,25 @@ CFG = DetectorConfig(
     head_layers=2)
 
 
-def _write_fake_keras(path, cfg) -> dict:
+def _write_fake_keras(path, cfg, glorot: bool = False) -> dict:
     """Create model.weights.h5 inside a .keras-style zip with reference
-    layer names; returns {h5_path: value} for later assertions."""
+    layer names; returns {h5_path: value} for later assertions.
+
+    ``glorot=True`` scales weights by fan-in (needed for the full 608px
+    reference config, where constant-scale random weights overflow through
+    the 8-block pyramid)."""
     rng = np.random.default_rng(0)
     template = init_params(jax.random.PRNGKey(0), cfg)
 
     def rand_like(arr):
-        return rng.normal(0, 0.5, np.shape(arr)).astype(np.float32)
+        shape = np.shape(arr)
+        if glorot and len(shape) >= 2:
+            scale = float(np.prod(shape[:-1])) ** -0.5
+        elif glorot:
+            scale = 0.05
+        else:
+            scale = 0.5
+        return rng.normal(0, scale, shape).astype(np.float32)
 
     entries = {}
 

@@ -179,3 +179,32 @@ def test_pallas_backward_path_matches_reference():
     for a, b in zip(grads_flash, grads_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_pallas_fused_backward_multi_tile():
+    """Multiple kv tiles AND multiple (batch, head) rows: exercises the
+    fused backward's dq grid accumulation with re-init at each new
+    batch*head row."""
+    from vision_transformer_detector_tpu.kernels import flash_attention as fa
+
+    rngs = jax.random.split(jax.random.PRNGKey(9), 4)
+    shape = (2, 300, 2, 64)  # n_pad 384 -> 3 tiles of 128 per bh row
+    q, k, v, g = (jax.random.normal(r, shape) for r in rngs)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128,
+                                       block_kv=128) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) * g)
+
+    old = fa.USE_PALLAS_BACKWARD
+    fa.USE_PALLAS_BACKWARD = True
+    try:
+        grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.USE_PALLAS_BACKWARD = old
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(grads_flash, grads_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)

@@ -1,0 +1,154 @@
+"""Profile-guided optimisation of the ViT-L/16 640px train step.
+
+Round-1 verdict: the step measured 432 ms with ~27% estimated MXU
+utilisation and no trace evidence for where the time goes. This script
+measures the candidate variants head-to-head on the real chip, reports
+XLA's own cost/memory analysis per variant, and optionally writes a
+jax.profiler trace for the winner.
+
+Usage: python tools/profile_l16.py [--batch 8] [--trace artifacts/trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_step(config, batch):
+    import jax
+    import jax.numpy as jnp
+
+    from vision_transformer_detector_tpu.config import (
+        LossConfig, TrainConfig)
+    from vision_transformer_detector_tpu.train.optimizer import (
+        make_optimizer)
+    from vision_transformer_detector_tpu.train.trainer import (
+        create_train_state, make_train_step)
+
+    h, w = config.image_size
+    images = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3),
+                                minval=-1.0, maxval=1.0)
+    labels = jnp.zeros((batch, config.max_objects, 6))
+    labels = labels.at[..., 0].set(0.0).at[:, 0].set(
+        jnp.asarray([1.0, 3.0, w / 2, h / 2, h / 4, w / 4]))
+    optimizer = make_optimizer(TrainConfig())
+    state = create_train_state(jax.random.PRNGKey(0), config, optimizer)
+    step = make_train_step(config, LossConfig(), optimizer, donate=False)
+    rng = jax.random.PRNGKey(2)
+
+    def run(s):
+        return step(s, images, labels, rng)[1]
+
+    return run, state, (state, images, labels, rng), step
+
+
+def analyze(step, example_args):
+    """XLA's own numbers for the compiled step."""
+    import jax
+
+    lowered = jax.jit(step, donate_argnums=()).lower(*example_args)
+    compiled = lowered.compile()
+    out = {}
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        out["xla_gflops"] = round(cost.get("flops", 0.0) / 1e9, 1)
+        out["xla_hbm_gb"] = round(
+            cost.get("bytes accessed", 0.0) / 1e9, 2)
+    except Exception as e:  # pragma: no cover - analysis is best-effort
+        out["cost_error"] = str(e)
+    try:
+        mem = compiled.memory_analysis()
+        out["peak_temp_mb"] = round(mem.temp_size_in_bytes / 1e6, 1)
+        out["args_mb"] = round(mem.argument_size_in_bytes / 1e6, 1)
+    except Exception as e:  # pragma: no cover
+        out["mem_error"] = str(e)
+    return out
+
+
+def bench_variant(name, config, batch, iterations, analysis=True,
+                  pallas_bwd=False, block_kv=None):
+    import jax
+
+    from vision_transformer_detector_tpu.kernels import flash_attention as fa
+    from vision_transformer_detector_tpu.utils.profiling import time_jitted
+
+    fa.USE_PALLAS_BACKWARD = pallas_bwd
+    run, state, example_args, raw_step = build_step(config, batch)
+    per_call, _ = time_jitted(run, state, iterations=iterations, warmup=2)
+    row = {"variant": name, "batch": batch,
+           "step_ms": round(per_call * 1000, 2),
+           "img_s": round(batch / per_call, 1)}
+    if analysis:
+        row.update(analyze(raw_step, example_args))
+        if "xla_gflops" in row and row["xla_gflops"]:
+            # v5e bf16 peak ~197 TFLOP/s, HBM ~819 GB/s
+            t_flops = row["xla_gflops"] / 197e3
+            t_hbm = row.get("xla_hbm_gb", 0) / 819.0
+            row["mxu_util_pct"] = round(
+                100 * t_flops / per_call, 1)
+            row["hbm_util_pct"] = round(100 * t_hbm / per_call, 1)
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--iterations", type=int, default=5)
+    parser.add_argument("--trace", default=None,
+                        help="write a jax.profiler trace of the baseline "
+                             "step to this directory")
+    parser.add_argument("--variants", default=None,
+                        help="comma-separated subset to run")
+    args = parser.parse_args()
+
+    from vision_transformer_detector_tpu.config import vit_l16_640
+    from vision_transformer_detector_tpu.utils.runtime import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
+    base = vit_l16_640()
+
+    # einsum-attention variants OOM here: without remat every layer's
+    # (8, 16, 1600, 1600) softmax residual is saved -> >30 GB. Flash (with
+    # recompute-from-residuals backward) is what makes L/16 640px fit.
+    variants = {
+        "baseline_remat_full_flash": (base, {}),
+        "remat_off": (base.replace(remat_encoder=False), {}),
+        "remat_dots": (base.replace(remat_policy="dots"), {}),
+        "remat_off_pallas_bwd": (base.replace(remat_encoder=False),
+                                 {"pallas_bwd": True}),
+        "remat_full_pallas_bwd": (base, {"pallas_bwd": True}),
+    }
+    selected = (args.variants.split(",") if args.variants
+                else list(variants))
+
+    rows = []
+    for name in selected:
+        config, kw = variants[name]
+        rows.append(bench_variant(name, config, args.batch,
+                                  args.iterations, **kw))
+
+    if args.trace:
+        from vision_transformer_detector_tpu.utils.profiling import trace
+        run, state, _, _ = build_step(base, args.batch)
+        import jax
+        jax.block_until_ready(run(state))  # compile outside the trace
+        with trace(args.trace):
+            jax.block_until_ready(run(state))
+        print(json.dumps({"trace_written": args.trace}), flush=True)
+
+    best = min(rows, key=lambda r: r["step_ms"])
+    print(json.dumps({"best": best["variant"],
+                      "best_step_ms": best["step_ms"]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

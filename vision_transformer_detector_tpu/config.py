@@ -74,6 +74,13 @@ class DetectorConfig:
     use_flash_attention: bool = False  # Pallas flash-attention kernel
     use_fused_ffn: bool = False        # Pallas fused dense+mish kernel
     remat_encoder: bool = False        # jax.checkpoint each encoder block
+    # Rematerialisation policy when remat_encoder is on:
+    #   None    -> save nothing, recompute the whole block (max memory
+    #              saving, ~1/3 extra forward FLOPs in the backward),
+    #   "dots"  -> jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+    #              matmul outputs are saved, only cheap elementwise work is
+    #              recomputed (profile-guided default for vit_l16_640).
+    remat_policy: Optional[str] = None
     # Windowed attention for the high-res variant (BASELINE configs[4]).
     attention_window: Optional[int] = None  # window size in patch rows/cols
     # Sequence parallelism: constrain encoder activations to shard the
@@ -199,13 +206,19 @@ def vit_b16_384() -> DetectorConfig:
 
 
 def vit_l16_640() -> DetectorConfig:
-    """BASELINE configs[3]: ViT-L/16 detector, 640px, bf16 flash attention."""
+    """BASELINE configs[3]: ViT-L/16 detector, 640px, bf16 flash attention.
+
+    remat is OFF by profiling (tools/profile_l16.py, PERFORMANCE.md round
+    2): at batch 8 the un-remat'd train step fits in ~10 GB peak and runs
+    432 -> 312 ms. For per-chip batches beyond ~8, turn remat back on
+    (``replace(remat_encoder=True)``) or shard the batch over more chips.
+    """
     return DetectorConfig(
         image_size=(640, 640), patch_size=16, embedding_dim=1024,
         num_heads=16, key_dim=64, encoder_blocks=24, encoder_mlp_layers=2,
         head_last_units=512, head_layers=3,
         compute_dtype="bfloat16", use_flash_attention=True,
-        remat_encoder=True,
+        remat_encoder=False,
     )
 
 

@@ -107,63 +107,62 @@ def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, *,
-               block_kv: int, seq_len: int):
-    """dq = sum_kv ds @ k with ds = p * (dp - delta), p = exp(s - lse)."""
-    q = q_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
-    block_q = q.shape[0]
-    kv_total = k_ref.shape[1]
-    num_kv = kv_total // block_kv
+def _fused_bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, *,
+                      block_q: int, seq_len: int):
+    """Single-pass flash backward: one (batch*head, kv-tile) program emits
+    this tile's dk/dv AND accumulates every query block's dq contribution.
 
-    def body(i, acc):
-        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        kv_pos = (i * block_kv
-                  + jax.lax.broadcasted_iota(jnp.int32,
-                                             (block_q, block_kv), 1))
-        s = jnp.where(kv_pos < seq_len, s, _NEG_INF)
-        p = jnp.exp(s - lse[:, None])
-        dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
-        return acc + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    Compared to round 1's separate dq + dkv kernels this computes the
+    score block once per (q, kv) tile pair instead of twice (5 matmuls vs
+    7) and reads q/g/k/v/lse/delta once instead of twice. dq is a
+    full-length fp32 output block whose index map ignores the kv grid
+    axis, so Pallas keeps it VMEM-resident across the sequential kv steps
+    (init at the first step, accumulate in place, flush when the
+    batch*head row changes).
+    """
+    j = pl.program_id(1)
 
-    acc0 = jnp.zeros_like(q)
-    acc = jax.lax.fori_loop(0, num_kv, body, acc0)
-    dq_ref[0] = acc.astype(dq_ref.dtype)
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
 
-
-def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *, block_q: int, seq_len: int):
-    """dk/dv for one KV tile: stream query blocks, transpose-form math."""
     k = k_ref[0].astype(jnp.float32)   # (bkv, K)
     v = v_ref[0].astype(jnp.float32)
     block_kv = k.shape[0]
     q_total = q_ref.shape[1]
     num_q = q_total // block_q
 
-    kv_base = pl.program_id(1) * block_kv
+    kv_base = j * block_kv
     kv_pos = kv_base + jax.lax.broadcasted_iota(
         jnp.int32, (block_kv, block_q), 0)
+    valid = kv_pos < seq_len
 
-    def body(j, carry):
+    contract_last = (((1,), (1,)), ((), ()))   # (a,K)x(b,K) -> (a,b)
+    contract_first = (((0,), (0,)), ((), ()))  # (m,a)x(m,b) -> (a,b)
+
+    def body(i, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
-        g = g_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(j * block_q, block_q)]
-        delta = delta_ref[0, 0, pl.ds(j * block_q, block_q)]
-        s_t = jnp.dot(k, q.T, preferred_element_type=jnp.float32)
-        s_t = jnp.where(kv_pos < seq_len, s_t, _NEG_INF)
-        p_t = jnp.exp(s_t - lse[None, :])
-        dv_acc = dv_acc + jnp.dot(p_t, g,
-                                  preferred_element_type=jnp.float32)
-        dp_t = jnp.dot(v, g.T, preferred_element_type=jnp.float32)
-        ds_t = p_t * (dp_t - delta[None, :])
-        dk_acc = dk_acc + jnp.dot(ds_t, q,
-                                  preferred_element_type=jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        g = g_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
+
+        s_t = jax.lax.dot_general(
+            k, q, contract_last, preferred_element_type=jnp.float32)
+        s_t = jnp.where(valid, s_t, _NEG_INF)
+        p_t = jnp.exp(s_t - lse[None, :])          # (bkv, bq)
+        dv_acc = dv_acc + jnp.dot(
+            p_t, g, preferred_element_type=jnp.float32)     # (bkv, K)
+        dp_t = jax.lax.dot_general(
+            v, g, contract_last, preferred_element_type=jnp.float32)
+        ds_t = p_t * (dp_t - delta[None, :])        # (bkv, bq)
+        dk_acc = dk_acc + jnp.dot(
+            ds_t, q, preferred_element_type=jnp.float32)    # (bkv, K)
+        dq_blk = jax.lax.dot_general(
+            ds_t, k, contract_first,
+            preferred_element_type=jnp.float32)     # (bq, K)
+        dq_ref[0, pl.ds(i * block_q, block_q), :] += dq_blk
         return dk_acc, dv_acc
 
     zeros = jnp.zeros((block_kv, k.shape[-1]), jnp.float32)
@@ -176,40 +175,45 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
+# Backward implementation selector: the fused Pallas backward (logsumexp
+# residuals, one kernel emitting dq/dk/dv) vs the per-head chunked jnp
+# recomputation. Both are numerics-tested; the default is chosen by TPU
+# measurement (PERFORMANCE.md kernel-selection notes). The flag is
+# resolved to a STATIC argument at call time — round-1's global-only read
+# was invisible to jit caches, so flipping it mid-process silently reused
+# the previously traced backward.
+USE_PALLAS_BACKWARD = False
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = 256, block_kv: int = 256,
-                    interpret: bool | None = None) -> jnp.ndarray:
+                    interpret: bool | None = None,
+                    use_pallas_backward: bool | None = None) -> jnp.ndarray:
     """Blockwise attention over (B, N, H, K) tensors -> (B, N, H, K).
 
     Pads N to the block size and K to the MXU-friendly 64 minimum; zero
     head-dim padding is exact (contributes nothing to q.k or p@v), KV
-    padding is masked in-kernel. Differentiable: the backward pass
+    padding is masked in-kernel. Differentiable: the backward pass either
     recomputes attention per (batch, head) group with fp32 statistics
-    (see _flash_bwd), so training composes with jax.grad/checkpoint.
+    (chunked) or runs the fused Pallas backward (see _flash_bwd), so
+    training composes with jax.grad/checkpoint.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _flash_attention_vjp(q, k, v, block_q, block_kv, interpret)
+    if use_pallas_backward is None:
+        use_pallas_backward = USE_PALLAS_BACKWARD
+    return _flash_attention_vjp(q, k, v, block_q, block_kv, interpret,
+                                bool(use_pallas_backward))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_attention_vjp(q, k, v, block_q, block_kv, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_vjp(q, k, v, block_q, block_kv, interpret,
+                         use_pallas_backward):
     return _flash_forward(q, k, v, block_q, block_kv, interpret)
 
 
-# Backward implementation selector: the Pallas two-kernel backward (dq +
-# dkv with logsumexp residuals) vs the per-head chunked jnp recomputation.
-# Both are numerics-tested; the default is chosen by TPU measurement:
-# chunked wins at ViT-L/16 640px (432 ms vs 558 ms per train step) because
-# XLA pipelines the per-head recomputation well, so it stays the default
-# (PERFORMANCE.md kernel-selection notes).
-USE_PALLAS_BACKWARD = False
-
-
-def _flash_fwd(q, k, v, block_q, block_kv, interpret):
-    if USE_PALLAS_BACKWARD:
+def _flash_fwd(q, k, v, block_q, block_kv, interpret, use_pallas_backward):
+    if use_pallas_backward:
         out, lse = _flash_forward(q, k, v, block_q, block_kv, interpret,
                                   with_lse=True)
         return out, (q, k, v, out, lse)
@@ -217,20 +221,23 @@ def _flash_fwd(q, k, v, block_q, block_kv, interpret):
     return out, (q, k, v, None, None)
 
 
-def _flash_bwd(block_q, block_kv, interpret, residuals, g):
+def _flash_bwd(block_q, block_kv, interpret, use_pallas_backward,
+               residuals, g):
     q, k, v, out, lse = residuals
-    if USE_PALLAS_BACKWARD:
+    if use_pallas_backward:
         return _flash_bwd_pallas(q, k, v, out, lse, g,
                                  block_q, block_kv, interpret)
     return _flash_bwd_chunked((q, k, v), g)
 
 
 def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret):
-    """Two-kernel flash backward with saved logsumexp.
+    """Fused single-kernel flash backward with saved logsumexp.
 
     delta = rowsum(g * out) (the softmax-jacobian correction) is cheap
-    elementwise jnp; dq streams KV tiles per query block, dk/dv stream
-    query blocks per KV tile. All statistics fp32.
+    elementwise jnp; one kernel over (batch*head, kv-tile) emits dk/dv per
+    tile and grid-accumulates dq in a VMEM-resident fp32 output block
+    (round-1's separate dq/dkv kernels recomputed every score block twice
+    and streamed the operands twice). All statistics fp32.
     """
     b, n, h, kdim = q.shape
     bh = b * h
@@ -252,41 +259,32 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret):
     delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, n_pad))
     lse_p = lse  # already (bh, 8, n_pad) from the forward
 
-    row_spec_q = pl.BlockSpec((1, 8, block_q), lambda bh_, i: (bh_, 0, i),
-                              memory_space=pltpu.VMEM)
-    full_row_spec = pl.BlockSpec((1, 8, n_pad), lambda bh_, i: (bh_, 0, 0),
+    full_row_spec = pl.BlockSpec((1, 8, n_pad), lambda bh_, j: (bh_, 0, 0),
                                  memory_space=pltpu.VMEM)
-    tile_q = pl.BlockSpec((1, block_q, k_pad), lambda bh_, i: (bh_, i, 0),
-                          memory_space=pltpu.VMEM)
-    tile_kv = pl.BlockSpec((1, block_kv, k_pad), lambda bh_, i: (bh_, i, 0),
+    tile_kv = pl.BlockSpec((1, block_kv, k_pad), lambda bh_, j: (bh_, j, 0),
                            memory_space=pltpu.VMEM)
-    full = pl.BlockSpec((1, n_pad, k_pad), lambda bh_, i: (bh_, 0, 0),
+    full = pl.BlockSpec((1, n_pad, k_pad), lambda bh_, j: (bh_, 0, 0),
                         memory_space=pltpu.VMEM)
 
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, block_kv=block_kv, seq_len=n),
-        grid=(bh, n_pad // block_q),
-        in_specs=[tile_q, full, full, tile_q, row_spec_q, row_spec_q],
-        out_specs=tile_q,
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, k_pad), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf, gf, lse_p, delta)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, block_q=block_q, seq_len=n),
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, block_q=block_q, seq_len=n),
         grid=(bh, n_pad // block_kv),
         in_specs=[full, tile_kv, tile_kv, full, full_row_spec,
                   full_row_spec],
-        out_specs=(tile_kv, tile_kv),
-        out_shape=(jax.ShapeDtypeStruct((bh, n_pad, k_pad), k.dtype),
+        # dq's index map ignores the kv axis: the block stays VMEM-resident
+        # and accumulates across the sequential kv steps.
+        out_specs=(full, tile_kv, tile_kv),
+        out_shape=(jax.ShapeDtypeStruct((bh, n_pad, k_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, n_pad, k_pad), k.dtype),
                    jax.ShapeDtypeStruct((bh, n_pad, k_pad), v.dtype)),
         interpret=interpret,
     )(qf, kf, vf, gf, lse_p, delta)
 
-    def unprep(t):
-        return t[:, :n, :kdim].reshape(b, h, n, kdim).transpose(0, 2, 1, 3)
+    def unprep(t, dtype):
+        t = t[:, :n, :kdim].reshape(b, h, n, kdim).transpose(0, 2, 1, 3)
+        return t.astype(dtype)
 
-    return unprep(dq), unprep(dk), unprep(dv)
+    return (unprep(dq, q.dtype), unprep(dk, k.dtype), unprep(dv, v.dtype))
 
 
 def _flash_bwd_chunked(residuals, g):

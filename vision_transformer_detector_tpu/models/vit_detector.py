@@ -419,7 +419,21 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
         def block_fn(x, block, rng):
             return _encoder_block(x, block, config, compute_dtype, rng,
                                   train=train, mesh=mesh)
-        block_fn = jax.checkpoint(block_fn)
+        if config.remat_policy == "dots":
+            # Save matmul outputs, recompute only elementwise ops: at
+            # ViT-L/16 640px this recovers most of full remat's extra
+            # forward FLOPs while still bounding activation memory
+            # (PERFORMANCE.md round-2 profiling).
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable)
+        elif config.remat_policy is None:
+            block_fn = jax.checkpoint(block_fn)
+        else:
+            raise ValueError(
+                f"unknown remat_policy {config.remat_policy!r}; "
+                "use None or 'dots'")
     else:
         def block_fn(x, block, rng):
             return _encoder_block(x, block, config, compute_dtype, rng,

@@ -132,3 +132,27 @@ def test_fit_rejects_exhausted_generator():
     one_shot = iter([_batch()])
     with pytest.raises(ValueError, match="re-iterable"):
         trainer.fit(state, one_shot, epochs=2)
+
+
+def test_async_checkpointing_roundtrip(tmp_path):
+    """Async orbax saves overlap training and resume exactly (ROADMAP
+    round-2 item): train with async_checkpointing=True, restore, and the
+    restored state must equal the live one."""
+    trainer = Trainer(TINY, LOSS, TC, checkpoint_dir=str(tmp_path / "ck"),
+                      async_checkpointing=True)
+    state = trainer.init_state()
+    data = [_batch()]
+    trainer.best_ap = 0.25
+    state = trainer.fit(state, data, epochs=2)
+    trainer.save(state, name="ongoing")   # non-blocking
+    trainer.wait_for_checkpoints()
+
+    trainer2 = Trainer(TINY, LOSS, TC, checkpoint_dir=str(tmp_path / "ck"),
+                       async_checkpointing=True)
+    fresh = trainer2.init_state()
+    restored = trainer2.restore(fresh, name="ongoing")
+    assert int(restored["step"]) == int(state["step"]) == 2
+    assert trainer2.best_ap == pytest.approx(0.25)
+    for a, b in zip(jax.tree_util.tree_leaves(restored["params"]),
+                    jax.tree_util.tree_leaves(state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -167,7 +167,8 @@ class Trainer:
                  mesh=None,
                  checkpoint_dir: Optional[str] = None,
                  metrics_path: Optional[str] = None,
-                 fast_metric: bool = True):
+                 fast_metric: bool = True,
+                 async_checkpointing: bool = False):
         self.config = config
         self.loss_config = loss_config
         self.train_config = train_config
@@ -185,6 +186,10 @@ class Trainer:
         else:
             self.metric = MeanAveragePrecision(config)
         self.metrics = MetricsWriter(metrics_path)
+        # Async checkpointing: saves overlap training (the loop pays only
+        # the device->host snapshot); fit() joins pending writes on exit.
+        self._async_ckpt = (ckpt_lib.AsyncCheckpointManager()
+                            if async_checkpointing else None)
         self.best_ap = 0.0
         self.ap_record = []
         self.loss_record = []
@@ -299,16 +304,27 @@ class Trainer:
                     self.save(state, name="ongoing")
 
             self.metrics.write(**record)
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()
         return state
 
     # ------------------------------------------------------------------
     def save(self, state: TrainState, name: str = "ongoing") -> None:
         path = os.path.join(self.checkpoint_dir, name)
-        ckpt_lib.save_checkpoint(
-            path, {"params": state["params"],
-                   "opt_state": state["opt_state"],
-                   "step": state["step"],
-                   "best_ap": jnp.float32(self.best_ap)})
+        tree = {"params": state["params"],
+                "opt_state": state["opt_state"],
+                "step": state["step"],
+                "best_ap": jnp.float32(self.best_ap)}
+        if self._async_ckpt is not None:
+            self._async_ckpt.save(path, tree)
+        else:
+            ckpt_lib.save_checkpoint(path, tree)
+
+    def wait_for_checkpoints(self) -> None:
+        """Join pending async checkpoint writes (fit() does this on exit;
+        call it after explicit save() calls before reading the files)."""
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()
 
     def restore(self, state: TrainState, name: str = "ongoing") -> TrainState:
         path = os.path.join(self.checkpoint_dir, name)
@@ -316,7 +332,10 @@ class Trainer:
                     "opt_state": state["opt_state"],
                     "step": state["step"],
                     "best_ap": jnp.float32(0.0)}
-        restored = ckpt_lib.restore_checkpoint(path, template)
+        if self._async_ckpt is not None:
+            restored = self._async_ckpt.restore(path, template)
+        else:
+            restored = ckpt_lib.restore_checkpoint(path, template)
         self.best_ap = float(restored.pop("best_ap"))
         restored["step"] = jnp.asarray(restored["step"], jnp.int32)
         return restored

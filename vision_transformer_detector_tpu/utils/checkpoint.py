@@ -38,6 +38,41 @@ def restore_checkpoint(path: str, template: Any) -> Any:
         return checkpointer.restore(path, template)
 
 
+class AsyncCheckpointManager:
+    """Non-blocking checkpoint writes for long training runs.
+
+    ``orbax.StandardCheckpointer`` is an AsyncCheckpointer: ``save``
+    snapshots the device arrays and serialises them in a background
+    thread, so the train loop only pays the host-copy cost instead of the
+    full filesystem write (SURVEY.md §5 checkpoint/resume; the reference
+    blocks training for every model.save, vtd.py:2145-2180). Call
+    ``wait()`` (or close/exit the context) to join outstanding writes;
+    a save to a path with a pending write waits for that write first.
+    """
+
+    def __init__(self):
+        self._checkpointer = _orbax().StandardCheckpointer()
+
+    def save(self, path: str, tree: Any) -> None:
+        self._checkpointer.save(os.path.abspath(path), tree, force=True)
+
+    def wait(self) -> None:
+        self._checkpointer.wait_until_finished()
+
+    def restore(self, path: str, template: Any) -> Any:
+        self.wait()
+        return self._checkpointer.restore(os.path.abspath(path), template)
+
+    def close(self) -> None:
+        self._checkpointer.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def save_params_npz(path: str, params: Any) -> None:
     """Portable flat .npz export of the parameter pytree (for the TF->JAX
     weight carry-over tooling and quick inspection)."""

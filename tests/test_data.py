@@ -224,3 +224,63 @@ def test_synthetic_batches():
     assert images.shape == (2, 64, 64, 3)
     assert labels.shape == (2, 17, 6)
     assert (labels[..., 0] >= 0).all()
+
+
+def _resumable_fixture(tmp_path, n=9):
+    from PIL import Image
+
+    from vision_transformer_detector_tpu.data.pipeline import (
+        ResumableDataset)
+
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"{i:012d}.jpg"
+        Image.fromarray(
+            np.full((32, 32, 3), i * 20 % 255, np.uint8)).save(p)
+        paths.append(str(p))
+    annotations = {str(i): [[1, 16.0, 16.0, 8.0, 8.0, 64.0]]
+                   for i in range(n)}
+    cfg = DetectorConfig(image_size=(32, 32))
+    return ResumableDataset(paths, annotations, cfg, batch_size=2, seed=3)
+
+
+def test_resumable_dataset_deterministic(tmp_path):
+    ds1 = _resumable_fixture(tmp_path)
+    ds2 = _resumable_fixture(tmp_path)
+    b1 = [img for img, _ in ds1]
+    b2 = [img for img, _ in ds2]
+    assert len(b1) == len(ds1) == 4  # 9 // 2
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)
+    # Next epoch shuffles differently (deterministically).
+    b1e2 = [img for img, _ in ds1]
+    assert not all(np.array_equal(a, b) for a, b in zip(b1, b1e2))
+
+
+def test_resumable_dataset_exact_resume(tmp_path):
+    straight = _resumable_fixture(tmp_path)
+    run_a = [img for img, _ in straight]          # epoch 0
+    run_a += [img for img, _ in straight][:2]     # 2 batches of epoch 1
+
+    # Consume 2 batches of epoch 0, checkpoint, resume in a NEW instance.
+    first = _resumable_fixture(tmp_path)
+    it = iter(first)
+    consumed = [next(it)[0], next(it)[0]]
+    state = first.get_state()
+    assert state == {"epoch": 0, "batch": 2, "seed": 3}
+
+    resumed = _resumable_fixture(tmp_path)
+    resumed.set_state(state)
+    rest = [img for img, _ in resumed]            # remainder of epoch 0
+    rest += [img for img, _ in resumed][:2]       # 2 batches of epoch 1
+
+    replay = consumed + rest
+    assert len(replay) == len(run_a)
+    for a, b in zip(run_a, replay):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_resumable_dataset_rejects_wrong_seed(tmp_path):
+    ds = _resumable_fixture(tmp_path)
+    with pytest.raises(ValueError, match="seed"):
+        ds.set_state({"epoch": 0, "batch": 1, "seed": 99})

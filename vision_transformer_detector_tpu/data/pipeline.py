@@ -200,6 +200,82 @@ class CocoDetectionDataset:
             yield item
 
 
+class ResumableDataset:
+    """Deterministic, checkpointable input iterator (grain-style).
+
+    The reference restarts its dataset from scratch on every resume (no
+    input-state persistence exists, SURVEY.md §5). Here the iterator state
+    is a JSON-serializable ``{"epoch", "batch", "seed"}``: every epoch's
+    order is a deterministic permutation seeded by (seed, epoch), and
+    ``set_state`` resumes at the exact next batch WITHOUT loading the
+    already-consumed images (index arithmetic on the path list).
+
+    Each ``__iter__`` pass yields the REMAINDER of the current epoch and
+    then advances to the next epoch, so it drops into ``Trainer.fit``'s
+    epoch loop directly (one pass per epoch).
+    """
+
+    def __init__(self,
+                 image_paths: Sequence[str],
+                 annotations: AnnotationsDict,
+                 config: DetectorConfig,
+                 batch_size: int = 8,
+                 shuffle: bool = True,
+                 seed: int = 0,
+                 **dataset_kwargs):
+        self.image_paths = list(image_paths)
+        self.annotations = annotations
+        self.config = config
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.dataset_kwargs = dataset_kwargs
+        self.epoch = 0
+        self.batch = 0
+
+    # -- state -----------------------------------------------------------
+    def get_state(self) -> dict:
+        return {"epoch": self.epoch, "batch": self.batch, "seed": self.seed}
+
+    def set_state(self, state: dict) -> None:
+        if state["seed"] != self.seed:
+            raise ValueError(
+                f"state seed {state['seed']} != dataset seed {self.seed}; "
+                "resuming with a different shuffle seed would change the "
+                "data order")
+        self.epoch = int(state["epoch"])
+        self.batch = int(state["batch"])
+
+    # -- iteration ---------------------------------------------------------
+    def _epoch_paths(self, epoch: int) -> List[str]:
+        paths = list(self.image_paths)
+        if self.shuffle:
+            rng = np.random.default_rng([self.seed, epoch])
+            rng.shuffle(paths)
+        return paths
+
+    def __len__(self) -> int:
+        return len(self.image_paths) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        if self.batch >= len(self):  # checkpointed exactly at epoch end
+            self.epoch += 1
+            self.batch = 0
+        paths = self._epoch_paths(self.epoch)
+        remaining = paths[self.batch * self.batch_size:]
+        dataset = CocoDetectionDataset(
+            remaining, self.annotations, self.config,
+            batch_size=self.batch_size, drop_remainder=True,
+            **self.dataset_kwargs)
+        for batch in dataset:
+            # Increment BEFORE yielding: get_state() taken while the
+            # consumer holds this batch already counts it as consumed.
+            self.batch += 1
+            yield batch
+        self.epoch += 1
+        self.batch = 0
+
+
 def synthetic_batches(config: DetectorConfig, batch_size: int,
                       num_batches: int, seed: int = 0,
                       max_boxes: int = 5

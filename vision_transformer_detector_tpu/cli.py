@@ -255,6 +255,29 @@ def cmd_stats(args) -> None:
     print(json.dumps(result, indent=2))
 
 
+def cmd_serve(args) -> None:
+    from .serving import DetectionServer, DetectionService
+    from .train.trainer import Trainer
+    from .utils.checkpoint import load_params_npz
+
+    config = _build_config(args)
+    trainer = Trainer(config, checkpoint_dir=args.checkpoint_dir)
+    state = trainer.init_state()
+    if args.params_npz:
+        state["params"] = load_params_npz(args.params_npz, state["params"])
+    elif args.restore:
+        state = trainer.restore(state, args.restore)
+
+    service = DetectionService(config, state["params"],
+                               iou_threshold=args.nms_iou_threshold,
+                               score_threshold=args.score_threshold)
+    server = DetectionServer(service, host=args.host, port=args.port)
+    print(json.dumps({"serving": f"http://{args.host}:{server.port}",
+                      "endpoints": ["/healthz", "POST /predict"]}),
+          flush=True)
+    server.serve_forever()
+
+
 def cmd_plot(args) -> None:
     from .utils.plotting import plot_training_curves
 
@@ -337,6 +360,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--images-quantity", type=int, default=0)
     p.add_argument("--multi-processing", action="store_true")
     p.set_defaults(func=cmd_stats)
+
+    p = sub.add_parser("serve", help="HTTP detection endpoint")
+    common(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--nms-iou-threshold", type=float, default=0.5)
+    p.add_argument("--score-threshold", type=float, default=0.0)
+    p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("plot", help="loss/AP training curves")
     p.add_argument("--metrics", required=True)

@@ -102,6 +102,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--iterations", type=int, default=5)
+    parser.add_argument("--preset", default="vit_l16_640")
     parser.add_argument("--trace", default=None,
                         help="write a jax.profiler trace of the baseline "
                              "step to this directory")
@@ -109,23 +110,28 @@ def main():
                         help="comma-separated subset to run")
     args = parser.parse_args()
 
-    from vision_transformer_detector_tpu.config import vit_l16_640
+    from vision_transformer_detector_tpu.config import get_config
     from vision_transformer_detector_tpu.utils.runtime import (
         enable_compilation_cache)
 
     enable_compilation_cache()
-    base = vit_l16_640()
+    base = get_config(args.preset)
 
-    # einsum-attention variants OOM here: without remat every layer's
-    # (8, 16, 1600, 1600) softmax residual is saved -> >30 GB. Flash (with
-    # recompute-from-residuals backward) is what makes L/16 640px fit.
+    # einsum-attention variants OOM at L/16 640px: without remat every
+    # layer's (8, 16, 1600, 1600) softmax residual is saved -> >30 GB.
+    # Flash (with recompute-from-residuals backward) is what makes it fit.
     variants = {
-        "baseline_remat_full_flash": (base, {}),
+        "preset_default": (base, {}),
+        "remat_full": (base.replace(remat_encoder=True,
+                                    remat_policy=None), {}),
         "remat_off": (base.replace(remat_encoder=False), {}),
-        "remat_dots": (base.replace(remat_policy="dots"), {}),
+        "remat_dots": (base.replace(remat_encoder=True,
+                                    remat_policy="dots"), {}),
         "remat_off_pallas_bwd": (base.replace(remat_encoder=False),
                                  {"pallas_bwd": True}),
-        "remat_full_pallas_bwd": (base, {"pallas_bwd": True}),
+        "remat_full_pallas_bwd": (base.replace(remat_encoder=True,
+                                               remat_policy=None),
+                                  {"pallas_bwd": True}),
     }
     selected = (args.variants.split(",") if args.variants
                 else list(variants))

@@ -106,6 +106,31 @@ def test_windowed_equals_full_when_window_covers_grid():
         np.asarray(out_full), np.asarray(out_win), atol=1e-4)
 
 
+def test_windowed_flash_equals_windowed_einsum():
+    """use_flash_attention + attention_window routes the independent
+    windows through the flash kernel (batch-folded); it must match the
+    materialised per-window softmax path."""
+    base = DetectorConfig(
+        image_size=(64, 64), patch_size=16, embedding_dim=16, num_heads=2,
+        key_dim=8, encoder_blocks=1, encoder_mlp_layers=2,
+        head_last_units=16, head_layers=1, attention_window=2)
+    flash = base.replace(use_flash_attention=True)
+    params = init_params(jax.random.PRNGKey(0), base)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    out_einsum = forward(params, images, base)
+    out_flash = forward(params, images, flash)
+    np.testing.assert_allclose(np.asarray(out_einsum),
+                               np.asarray(out_flash), atol=2e-3)
+
+    # Gradients flow through the flash-windowed path (the point: no saved
+    # window probabilities -> trains without remat).
+    def loss(p):
+        return jnp.sum(forward(p, images, flash) ** 2)
+    grads = jax.grad(loss)(params)
+    assert all(bool(jnp.all(jnp.isfinite(g)))
+               for g in jax.tree_util.tree_leaves(grads))
+
+
 def test_mish_matches_definition():
     x = jnp.linspace(-5, 5, 11)
     expected = x * jnp.tanh(jnp.log1p(jnp.exp(x)))

@@ -263,7 +263,8 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
         gh, gw = config.grid_size
         attn_out = _windowed_attention(
             q, key, v, gh, gw, window, config, compute_dtype,
-            dropout_rng=dropout_rng if dropping else None, train=train)
+            dropout_rng=dropout_rng if dropping else None, train=train,
+            use_flash=config.use_flash_attention and not dropping)
     elif config.use_flash_attention and not dropping:
         # The Pallas kernel has no in-kernel RNG; under training dropout the
         # einsum path below keeps the exact keras probability-dropout
@@ -289,7 +290,8 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
 
 
 def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype,
-                        dropout_rng=None, train: bool = False):
+                        dropout_rng=None, train: bool = False,
+                        use_flash: bool = False):
     """Non-overlapping local window attention over the patch grid.
 
     The token axis is reshaped to (gh/w, w, gw/w, w) windows; attention runs
@@ -298,25 +300,44 @@ def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype,
     attention becomes 16 windows of 256 tokens. Training dropout applies to
     the per-window probabilities (keras MHA semantics, vtd.py:364-369,
     restricted to the local windows).
+
+    ``use_flash`` folds the independent windows into the batch axis and
+    routes through the Pallas flash kernel: no per-window softmax
+    probabilities are ever materialised or saved as residuals (the
+    backward recomputes from q/k/v), which is what lets the 1024px preset
+    train WITHOUT encoder rematerialisation (PERFORMANCE.md round 2: the
+    einsum path's saved probabilities both OOM un-remat'd and dominate
+    HBM traffic remat'd).
     """
     b, n, h, k = q.shape
     assert gh % window == 0 and gw % window == 0, (
         f"grid {gh}x{gw} not divisible by window {window}")
     nh, nw = gh // window, gw // window
+    num_windows = nh * nw
+    tokens = window * window
 
     def to_windows(t):
         t = t.reshape(b, nh, window, nw, window, h, k)
         t = t.transpose(0, 1, 3, 2, 4, 5, 6)
-        return t.reshape(b, nh * nw, window * window, h, k)
+        return t.reshape(b, num_windows, tokens, h, k)
 
     qw, kw, vw = to_windows(q), to_windows(key), to_windows(v)
-    scores = jnp.einsum("bwnhk,bwmhk->bwhnm", qw, kw,
-                        preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = _dropout(probs, config.dropout, dropout_rng, train)
-    out = jnp.einsum("bwhnm,bwmhk->bwnhk", probs.astype(compute_dtype),
-                     vw.astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
+
+    if use_flash:
+        from ..kernels.flash_attention import flash_attention
+        out = flash_attention(
+            qw.reshape(b * num_windows, tokens, h, k).astype(compute_dtype),
+            kw.reshape(b * num_windows, tokens, h, k).astype(compute_dtype),
+            vw.reshape(b * num_windows, tokens, h, k).astype(compute_dtype))
+        out = out.reshape(b, num_windows, tokens, h, k)
+    else:
+        scores = jnp.einsum("bwnhk,bwmhk->bwhnm", qw, kw,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = _dropout(probs, config.dropout, dropout_rng, train)
+        out = jnp.einsum("bwhnm,bwmhk->bwnhk", probs.astype(compute_dtype),
+                         vw.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
     out = out.reshape(b, nh, nw, window, window, h, k)
     out = out.transpose(0, 1, 3, 2, 4, 5, 6)
     return out.reshape(b, n, h, k)

@@ -156,3 +156,24 @@ def test_async_checkpointing_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored["params"]),
                     jax.tree_util.tree_leaves(state["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_check_weights_cadence(tmp_path, capsys):
+    """The CheckModelWeight twin (vtd.py:650-687): on the configured
+    cadence the params are scanned, extrema land in the metrics record,
+    and new watermarks are reported."""
+    import json as _json
+
+    metrics = str(tmp_path / "m.jsonl")
+    trainer = Trainer(TINY, LOSS, TC, metrics_path=metrics,
+                      check_weights_every=2, check_weights_start=1,
+                      weight_threshold=0.0)
+    state = trainer.init_state()
+    trainer.fit(state, [_batch()], epochs=4)
+    out = capsys.readouterr().out
+    assert "Largest_weight changed to:" in out
+    with open(metrics) as f:
+        records = [_json.loads(line) for line in f]
+    checked = [r for r in records if "max_weight" in r]
+    assert [r["epoch"] for r in checked] == [1, 3]
+    assert all(np.isfinite(r["max_weight"]) for r in checked)

@@ -168,7 +168,10 @@ class Trainer:
                  checkpoint_dir: Optional[str] = None,
                  metrics_path: Optional[str] = None,
                  fast_metric: bool = True,
-                 async_checkpointing: bool = False):
+                 async_checkpointing: bool = False,
+                 check_weights_every: Optional[int] = None,
+                 check_weights_start: int = 0,
+                 weight_threshold: float = 1.0):
         self.config = config
         self.loss_config = loss_config
         self.train_config = train_config
@@ -190,6 +193,13 @@ class Trainer:
         # the device->host snapshot); fit() joins pending writes on exit.
         self._async_ckpt = (ckpt_lib.AsyncCheckpointManager()
                             if async_checkpointing else None)
+        # CheckModelWeight twin (vtd.py:650-687): on a cadence, scan the
+        # params and report NEW extrema beyond +-weight_threshold; the
+        # running extremes start at the threshold so early growth doesn't
+        # spam (vtd.py:656-658).
+        self.check_weights_every = check_weights_every
+        self.check_weights_start = check_weights_start
+        self._weight_watermarks = [-weight_threshold, weight_threshold]
         self.best_ap = 0.0
         self.ap_record = []
         self.loss_record = []
@@ -288,6 +298,12 @@ class Trainer:
             record = {"epoch": epoch, "loss": epoch_loss,
                       "wall_s": time.time() - tic}
 
+            if (self.check_weights_every
+                    and epoch >= self.check_weights_start
+                    and (epoch - self.check_weights_start)
+                    % self.check_weights_every == 0):
+                record.update(self._check_weights(state["params"], epoch))
+
             if (eval_data is not None and epoch >= tc.epochs_warm_up
                     and (epoch - tc.epochs_warm_up) % tc.skip_epochs == 0):
                 with self._mesh_context():
@@ -319,6 +335,22 @@ class Trainer:
             self._async_ckpt.save(path, tree)
         else:
             ckpt_lib.save_checkpoint(path, tree)
+
+    def _check_weights(self, params, epoch: int) -> Dict[str, float]:
+        """CheckModelWeight semantics (vtd.py:663-687): report when the
+        max/min weight passes the previous watermark."""
+        from ..utils.debugging import param_extrema
+
+        minima, maxima = param_extrema(params)
+        if maxima > self._weight_watermarks[1]:
+            self._weight_watermarks[1] = maxima
+            print(f"\nLargest_weight changed to: {maxima:.3f}, "
+                  f"at epoch {epoch}.")
+        elif minima < self._weight_watermarks[0]:
+            self._weight_watermarks[0] = minima
+            print(f"\nSmallest_weight changed to: {minima:.3f}, "
+                  f"at epoch {epoch}.")
+        return {"min_weight": minima, "max_weight": maxima}
 
     def wait_for_checkpoints(self) -> None:
         """Join pending async checkpoint writes (fit() does this on exit;

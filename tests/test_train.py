@@ -177,3 +177,84 @@ def test_check_weights_cadence(tmp_path, capsys):
     checked = [r for r in records if "max_weight" in r]
     assert [r["epoch"] for r in checked] == [1, 3]
     assert all(np.isfinite(r["max_weight"]) for r in checked)
+
+
+def test_gradient_accumulation():
+    """Two properties of accumulate_steps=k:
+
+    1. micro-gradients decompose: the average of the k micro-batch
+       gradients equals the big-batch gradient (requires equal positive
+       counts per micro-batch — the loss's mean-over-positives terms,
+       ops/loss.py, only decompose then);
+    2. optax.MultiSteps holds params frozen for k-1 micro steps and
+       applies one real update on the k-th.
+
+    (Exact param equality with the big-batch Adam step is NOT asserted:
+    Adam's first-step update is ~lr*sign(g), which amplifies fp noise on
+    near-zero gradient elements.)
+    """
+    from vision_transformer_detector_tpu.models.vit_detector import forward
+    from vision_transformer_detector_tpu.ops.loss import detection_loss
+
+    rng_np = np.random.default_rng(0)
+    h, w = TINY.image_size
+    big_images = jnp.asarray(
+        rng_np.uniform(-1, 1, (4, h, w, 3)).astype(np.float32))
+    labels = np.full((4, TINY.max_objects, 6), -8.0, np.float32)
+    labels[..., 0] = 0.0
+    for i in range(4):  # one positive per image -> decomposable means
+        labels[i, 0] = (1, 5 + i, 17.0, 17.0, 10.0, 10.0)
+    big_labels = jnp.asarray(labels)
+
+    opt = make_optimizer(TrainConfig(learning_rate=1e-3))
+    state = create_train_state(jax.random.PRNGKey(0), TINY, opt)
+
+    def loss_fn(p, im, lb):
+        return detection_loss(lb, forward(p, im, TINY), TINY, LOSS)
+
+    g_big = jax.grad(loss_fn)(state["params"], big_images, big_labels)
+    g1 = jax.grad(loss_fn)(state["params"], big_images[:2], big_labels[:2])
+    g2 = jax.grad(loss_fn)(state["params"], big_images[2:], big_labels[2:])
+    for a, b1, b2 in zip(jax.tree_util.tree_leaves(g_big),
+                         jax.tree_util.tree_leaves(g1),
+                         jax.tree_util.tree_leaves(g2)):
+        avg = (np.asarray(b1) + np.asarray(b2)) / 2
+        scale = max(1.0, float(np.max(np.abs(np.asarray(a)))))
+        np.testing.assert_allclose(avg, np.asarray(a), atol=2e-4 * scale)
+
+    # MultiSteps cadence: no param change after micro step 1, change
+    # after micro step 2.
+    opt_acc = make_optimizer(
+        TrainConfig(learning_rate=1e-3, accumulate_steps=2))
+    state_acc = create_train_state(jax.random.PRNGKey(0), TINY, opt_acc)
+    step_acc = make_train_step(TINY, LOSS, opt_acc, donate=False)
+    rng = jax.random.PRNGKey(1)
+    before = jax.tree_util.tree_leaves(state_acc["params"])
+    state_acc, _ = step_acc(state_acc, big_images[:2], big_labels[:2], rng)
+    mid = jax.tree_util.tree_leaves(state_acc["params"])
+    for a, b in zip(before, mid):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    state_acc, _ = step_acc(state_acc, big_images[2:], big_labels[2:], rng)
+    after = jax.tree_util.tree_leaves(state_acc["params"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(mid, after))
+
+
+def test_config_travels_with_checkpoint(tmp_path):
+    """Trainer.save writes config.json; loading it reconstructs the exact
+    config triple (tuples restored from JSON lists)."""
+    from vision_transformer_detector_tpu.config import load_configs
+
+    cfg = TINY.replace(head_scales=(1, 2))
+    trainer = Trainer(cfg, LOSS, TC, checkpoint_dir=str(tmp_path))
+    state = trainer.init_state()
+    trainer.save(state, name="ongoing")
+    det, loss, train = load_configs(str(tmp_path / "config.json"))
+    assert det == cfg
+    assert loss == LOSS
+    assert train == TC
+    # Round-tripped config drives the model (hashable, jit-static).
+    from vision_transformer_detector_tpu.models.vit_detector import forward
+    h, w = det.image_size
+    out = forward(state["params"], jnp.zeros((1, h, w, 3)), det)
+    assert out.shape == (1, det.max_objects, 6)

@@ -158,6 +158,10 @@ class TrainConfig:
     learning_rate: float = 8e-5
     clip_gradient_value: float = 10.0  # Adam(clipvalue=10)
     batch_size: int = 8
+    # Gradient accumulation: average grads over this many micro-batches
+    # before each optimizer update (optax.MultiSteps) — large effective
+    # batches without the activation memory (beyond-reference feature).
+    accumulate_steps: int = 1
     epochs: int = 12_502
     # Step LR decay (vtd.py:696-728): cumulative epoch boundaries, x0.1 each.
     epochs_first_lr_decay: int = 1_000
@@ -259,3 +263,57 @@ def get_config(name: str) -> DetectorConfig:
     except KeyError:
         raise KeyError(
             f"Unknown preset {name!r}; available: {sorted(PRESETS)}") from None
+
+
+# ---------------------------------------------------------------------------
+# Serialisation: configs travel with checkpoints so a run is reproducible
+# from its checkpoint directory alone (the reference re-types every
+# hyperparameter in the notebook each session).
+# ---------------------------------------------------------------------------
+
+def configs_to_dict(detector: DetectorConfig,
+                    loss: Optional[LossConfig] = None,
+                    train: Optional["TrainConfig"] = None) -> dict:
+    out = {"detector": dataclasses.asdict(detector)}
+    if loss is not None:
+        out["loss"] = dataclasses.asdict(loss)
+    if train is not None:
+        out["train"] = dataclasses.asdict(train)
+    return out
+
+
+def _tuplify(cls, data: dict) -> dict:
+    """JSON round-trips tuples as lists; restore tuple-typed fields."""
+    fixed = dict(data)
+    for field in dataclasses.fields(cls):
+        value = fixed.get(field.name)
+        if isinstance(value, list):
+            fixed[field.name] = tuple(value)
+    return fixed
+
+
+def configs_from_dict(data: dict):
+    """Inverse of configs_to_dict -> (DetectorConfig, LossConfig|None,
+    TrainConfig|None)."""
+    detector = DetectorConfig(**_tuplify(DetectorConfig, data["detector"]))
+    loss = (LossConfig(**_tuplify(LossConfig, data["loss"]))
+            if "loss" in data else None)
+    train = (TrainConfig(**_tuplify(TrainConfig, data["train"]))
+             if "train" in data else None)
+    return detector, loss, train
+
+
+def save_configs(path: str, detector: DetectorConfig,
+                 loss: Optional[LossConfig] = None,
+                 train: Optional["TrainConfig"] = None) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(configs_to_dict(detector, loss, train), f, indent=1)
+
+
+def load_configs(path: str):
+    import json
+
+    with open(path) as f:
+        return configs_from_dict(json.load(f))

@@ -41,13 +41,20 @@ def make_optimizer(config: TrainConfig,
                    steps_per_epoch: int = 1) -> optax.GradientTransformation:
     """Gradient clip-by-value then Adam, like keras Adam(clipvalue)."""
     schedule = make_lr_schedule(config, steps_per_epoch)
-    return optax.chain(
+    optimizer = optax.chain(
         optax.clip(config.clip_gradient_value),
         # keras Adam default epsilon is 1e-7 (optax's is 1e-8); matched so
         # the reference's training dynamics carry over for loss-curve
         # overlays.
         optax.adam(schedule, eps=1e-7),
     )
+    if config.accumulate_steps > 1:
+        # Average grads over k micro-batches per real update; the inner
+        # optimizer (and its LR schedule) steps once per accumulated
+        # update, so k micro-steps == one big-batch step exactly.
+        optimizer = optax.MultiSteps(
+            optimizer, every_k_schedule=config.accumulate_steps)
+    return optimizer
 
 
 def clip_weights(params, max_weight: float):

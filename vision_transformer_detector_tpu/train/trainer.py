@@ -326,6 +326,14 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self, state: TrainState, name: str = "ongoing") -> None:
+        from ..config import save_configs
+
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        config_path = os.path.join(self.checkpoint_dir, "config.json")
+        if not os.path.exists(config_path):
+            # The run is reproducible from its checkpoint dir alone.
+            save_configs(config_path, self.config, self.loss_config,
+                         self.train_config)
         path = os.path.join(self.checkpoint_dir, name)
         tree = {"params": state["params"],
                 "opt_state": state["opt_state"],

@@ -90,3 +90,52 @@ def test_http_server_roundtrip(service):
             assert e.code == 400
     finally:
         server.stop()
+
+
+def test_batching_service_concurrent_submit(service):
+    """Concurrent submits collapse into micro-batches; every caller gets
+    its own image's detections (checked via image-dependent output)."""
+    import threading
+
+    from vision_transformer_detector_tpu.serving import (
+        BatchingDetectionService)
+
+    batching = BatchingDetectionService(service, max_batch=4,
+                                        max_wait_ms=20.0)
+    try:
+        rng = np.random.default_rng(2)
+        images = [rng.integers(0, 255, (64, 64, 3), np.uint8)
+                  for _ in range(6)]
+        # Ground truth: each image run alone.
+        solo = [service.detect_array(img[None])[0] for img in images]
+
+        results = [None] * len(images)
+        def run(i):
+            results[i] = batching.submit(images[i])
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(images))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, (got, want) in enumerate(zip(results, solo)):
+            assert got is not None, i
+            assert len(got) == len(want), i
+            for g, w in zip(got, want):
+                assert g["class_id"] == w["class_id"]
+                # batch-1 vs batch-4 XLA programs reassociate fp32 slightly
+                assert g["score"] == pytest.approx(w["score"], abs=1e-3)
+    finally:
+        batching.stop()
+
+
+def test_batching_service_propagates_errors(service):
+    from vision_transformer_detector_tpu.serving import (
+        BatchingDetectionService)
+
+    batching = BatchingDetectionService(service, max_wait_ms=1.0)
+    try:
+        with pytest.raises(Exception):
+            batching.submit(np.zeros((3, 3), np.uint8))  # bad rank
+    finally:
+        batching.stop()

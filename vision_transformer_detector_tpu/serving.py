@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
@@ -110,6 +111,89 @@ class DetectionService:
             box["w"] = box["w"] * lb_scale
         return {"detections": detections,
                 "image_size": {"height": oh, "width": ow}}
+
+
+class BatchingDetectionService:
+    """Micro-batching front for a DetectionService.
+
+    Concurrent single-image requests are collected by a worker thread and
+    run as one device call, amortising the measured ~31-35 ms per-call
+    dispatch overhead (PERFORMANCE.md round-2 sync-vs-pipelined table) and
+    the small-batch device inefficiency (4.4 ms/img at b1-8 vs 1.9 at
+    b128). Batches are padded to power-of-two buckets so only a handful of
+    jit specialisations exist.
+
+    Usage: ``batching.submit(canvas)`` from any thread -> per-image
+    detection list (blocks until the batch containing it completes).
+    """
+
+    def __init__(self, service: DetectionService, max_batch: int = 8,
+                 max_wait_ms: float = 5.0):
+        self.service = service
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._running = True
+        self._thread.start()
+
+    def submit(self, image: np.ndarray) -> List[dict]:
+        """One (H, W, 3) model-frame image -> its detections."""
+        done = threading.Event()
+        slot = {"image": image, "event": done, "result": None,
+                "error": None}
+        self._queue.put(slot)
+        done.wait()
+        if slot["error"] is not None:
+            raise slot["error"]
+        return slot["result"]
+
+    def _bucket(self, n: int) -> int:
+        size = 1
+        while size < n:
+            size *= 2
+        return min(size, self.max_batch)
+
+    def _worker(self) -> None:
+        while self._running:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                return
+            batch = [first]
+            deadline = threading.Event()
+            deadline.wait(self.max_wait)  # collection window
+            while len(batch) < self.max_batch:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._running = False
+                    break
+                batch.append(item)
+
+            try:
+                bucket = self._bucket(len(batch))
+                images = np.stack(
+                    [s["image"] for s in batch]
+                    + [batch[0]["image"]] * (bucket - len(batch)))
+                results = self.service.detect_array(images)
+                for slot, dets in zip(batch, results):
+                    slot["result"] = dets
+            except Exception as exc:
+                for slot in batch:
+                    slot["error"] = exc
+            finally:
+                for slot in batch:
+                    slot["event"].set()
+
+    def stop(self) -> None:
+        self._running = False
+        self._queue.put(None)
+        self._thread.join(timeout=5)
 
 
 class DetectionServer:

@@ -268,7 +268,11 @@ def cmd_serve(args) -> None:
     elif args.restore:
         state = trainer.restore(state, args.restore)
 
-    service = DetectionService(config, state["params"],
+    params = state["params"]
+    if args.int8:
+        from .kernels.quantization import quantize_params
+        params = quantize_params(params)
+    service = DetectionService(config, params,
                                iou_threshold=args.nms_iou_threshold,
                                score_threshold=args.score_threshold)
     server = DetectionServer(service, host=args.host, port=args.port)
@@ -367,6 +371,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--nms-iou-threshold", type=float, default=0.5)
     p.add_argument("--score-threshold", type=float, default=0.0)
+    p.add_argument("--int8", action="store_true",
+                   help="serve int8-quantized weights (2x MXU peak; "
+                        "AP-retention-tested, kernels/quantization.py)")
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("plot", help="loss/AP training curves")

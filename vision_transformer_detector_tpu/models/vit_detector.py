@@ -175,6 +175,11 @@ def extract_patches(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
 
 
 def _dense(x, layer, compute_dtype):
+    if "kernel_q" in layer:
+        # Serving-only int8 path (kernels/quantization.py): the layer dict
+        # carries int8 weights + per-channel scales instead of "kernel".
+        from ..kernels.quantization import int8_dense
+        return int8_dense(x, layer).astype(compute_dtype)
     kernel = layer["kernel"].astype(compute_dtype)
     y = jnp.dot(x.astype(compute_dtype), kernel,
                 preferred_element_type=jnp.float32)
@@ -200,7 +205,7 @@ def _dense_activation(x, layer, config: DetectorConfig, compute_dtype,
                       rng=None, train: bool = False):
     """Dense + activation (+ dropout) for the pyramid layers, optionally
     through the fused Pallas kernel (kernels/fused_ffn.py)."""
-    if (config.use_fused_ffn and config.use_mish
+    if (config.use_fused_ffn and config.use_mish and "kernel" in layer
             and (config.dropout is None or not train)):
         from ..kernels.fused_ffn import fused_dense_mish
         return fused_dense_mish(
@@ -234,6 +239,9 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
     xc = x.astype(compute_dtype)
 
     def proj(layer):
+        if "kernel_q" in layer:  # int8 serving path
+            from ..kernels.quantization import int8_dense
+            return int8_dense(xc, layer)          # fp32 (B, N, H, K)
         kernel = layer["kernel"].astype(compute_dtype)  # (D, H, K)
         y = jnp.einsum("bnd,dhk->bnhk", xc, kernel,
                        preferred_element_type=jnp.float32)
@@ -282,6 +290,10 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
             "bhnm,bmhk->bnhk", probs.astype(compute_dtype),
             v.astype(compute_dtype), preferred_element_type=jnp.float32)
 
+    if "kernel_q" in mha["out"]:  # int8 serving path
+        from ..kernels.quantization import int8_dense
+        flat = attn_out.reshape(b, n, h * k)
+        return int8_dense(flat, mha["out"]).astype(compute_dtype)
     out_kernel = mha["out"]["kernel"].astype(compute_dtype)  # (H, K, D)
     out = jnp.einsum("bnhk,hkd->bnd", attn_out.astype(compute_dtype),
                      out_kernel, preferred_element_type=jnp.float32)

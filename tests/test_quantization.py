@@ -97,3 +97,28 @@ def test_quantized_multi_scale_head():
     out = forward(qparams, jnp.ones((1, 64, 64, 3)), cfg)
     assert out.shape == (1, cfg.max_objects, 6)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_fused_int8_dense_matches_jnp_int8():
+    """The Pallas quantize-in-kernel path must match the jnp int8 path
+    (same math, no HBM int8 copies)."""
+    from vision_transformer_detector_tpu.kernels.quantization import (
+        _quantize_dense_layer, fused_int8_dense)
+
+    rng = np.random.default_rng(1)
+    layer = _quantize_dense_layer(
+        {"kernel": rng.normal(0, 0.3, (200, 96)).astype(np.float32),
+         "bias": rng.normal(0, 0.1, (96,)).astype(np.float32)})
+    x = jnp.asarray(rng.normal(0, 1.0, (3, 7, 200)).astype(np.float32))
+    want = np.asarray(int8_dense(x, layer))
+    got = np.asarray(fused_int8_dense(x, layer)).astype(np.float32)
+    # bf16 output rounding on top of identical int math.
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, atol=0.01 * scale)
+
+    # Fused mish == mish(linear).
+    def mish(v):
+        return v * np.tanh(np.log1p(np.exp(v)))
+    got_m = np.asarray(fused_int8_dense(x, layer, apply_mish=True)
+                       ).astype(np.float32)
+    np.testing.assert_allclose(got_m, mish(want), atol=0.02 * scale)

@@ -35,6 +35,7 @@ no materialised int8 copies); do not enable it for speed on this chip.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -146,3 +147,106 @@ def int8_dense(x: jnp.ndarray, layer: dict) -> jnp.ndarray:
 
 def is_quantized(layer: Any) -> bool:
     return isinstance(layer, dict) and "kernel_q" in layer
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas int8 dense (+mish): quantize-in-kernel
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fused_int8_kernel(x_ref, w_ref, wscale_ref, bias_ref, o_ref, *,
+                       apply_mish: bool):
+    """One (M-tile, N-tile) program: dynamic per-row activation
+    quantization IN VMEM (no HBM int8/fp32 copies), int8 MXU dot with
+    int32 accumulation, fp32 rescale + bias (+ mish), cast out.
+
+    The quantization is recomputed per N tile — its cost is
+    ~3 elementwise ops per (row, k) vs 2*bn MACs, i.e. noise."""
+    x = x_ref[...].astype(jnp.float32)            # (bm, K)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        xq, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)         # (bm, bn)
+    y = acc.astype(jnp.float32) * x_scale * wscale_ref[0][None, :]
+    y = y + bias_ref[0][None, :]
+    if apply_mish:
+        y = y * jnp.tanh(jax.nn.softplus(y))
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def fused_int8_dense(x: jnp.ndarray, layer: dict,
+                     apply_mish: bool = False,
+                     block_m: int = 256, block_n: int = 512,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    """``(..., K) -> (..., N)`` through the fused quantize+int8-matmul
+    kernel. Serving-only (no VJP). Requires a 2-D weight (plain dense
+    layers; MHA projections keep the jnp path — they are a small FLOPs
+    fraction)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    out_shape = layer["bias"].shape
+    assert len(out_shape) == 1, "fused path handles 2-D weights only"
+    n = out_shape[0]
+    k = x.shape[-1]
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+
+    # VMEM budget per program ~16 MB covers: x in bf16 + fp32 cast + int8
+    # copy (~3.5 bytes/elem over bm x k_pad), the resident int8 weight
+    # tile (k_pad x bn), and the int32 acc + fp32 y + bf16 out
+    # (~10 bytes/elem over bm x bn). Shrink the M tile for wide
+    # contractions and cap the weight tile at ~4 MB.
+    k_pad = _round_up(k, 128)
+    if k_pad > 2048:
+        block_m = min(block_m, 128)
+    m_pad = _round_up(max(m, 8), block_m)
+    # The weight tile is the RESIDENT operand (outer grid axis): most
+    # layers load W once while x tiles stream past it (an earlier version
+    # streamed W per M tile — gigabytes of re-reads at batch 128).
+    budget_n = max(128, ((4 << 20) // max(k_pad, 1)) // 128 * 128)
+    block_n = min(_round_up(n, 128), min(2048, budget_n))
+    n_pad = _round_up(n, block_n)
+
+    xf = jnp.pad(x.reshape(m, k).astype(jnp.bfloat16),
+                 ((0, m_pad - m), (0, k_pad - k)))
+    wq = jnp.pad(layer["kernel_q"], ((0, k_pad - k), (0, n_pad - n)))
+    # 8-sublane replication for the small per-channel rows (Mosaic tiles).
+    wscale = jnp.broadcast_to(
+        jnp.pad(layer["scale"], (0, n_pad - n))[None, :], (8, n_pad))
+    bias = jnp.broadcast_to(
+        jnp.pad(layer["bias"].astype(jnp.float32),
+                (0, n_pad - n))[None, :], (8, n_pad))
+
+    # Grid: N tiles OUTER, M tiles inner — the weight/scale/bias blocks'
+    # index maps are constant over the inner axis, so Pallas keeps them
+    # VMEM-resident while the x tiles stream.
+    out = pl.pallas_call(
+        functools.partial(_fused_int8_kernel, apply_mish=apply_mish),
+        grid=(n_pad // block_n, m_pad // block_m),
+        in_specs=[
+            pl.BlockSpec((block_m, k_pad), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, block_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.bfloat16),
+        interpret=interpret,
+    )(xf, wq, wscale, bias)
+
+    return out[:m, :n].reshape(lead + (n,))

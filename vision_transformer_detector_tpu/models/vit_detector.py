@@ -178,6 +178,11 @@ def _dense(x, layer, compute_dtype):
     if "kernel_q" in layer:
         # Serving-only int8 path (kernels/quantization.py): the layer dict
         # carries int8 weights + per-channel scales instead of "kernel".
+        # 2-D weights go through the fused quantize-in-kernel Pallas path;
+        # MHA-style block outputs fall back to the jnp path.
+        if len(layer["bias"].shape) == 1:
+            from ..kernels.quantization import fused_int8_dense
+            return fused_int8_dense(x, layer).astype(compute_dtype)
         from ..kernels.quantization import int8_dense
         return int8_dense(x, layer).astype(compute_dtype)
     kernel = layer["kernel"].astype(compute_dtype)
@@ -212,6 +217,11 @@ def _dense_activation(x, layer, config: DetectorConfig, compute_dtype,
             x.astype(compute_dtype),
             layer["kernel"].astype(compute_dtype),
             layer["bias"].astype(compute_dtype))
+    if "kernel_q" in layer and config.use_mish and not train:
+        # int8 serving path with the mish fused into the kernel.
+        from ..kernels.quantization import fused_int8_dense
+        return fused_int8_dense(x, layer,
+                                apply_mish=True).astype(compute_dtype)
     x = _dense(x, layer, compute_dtype)
     x = mish(x) if config.use_mish else jax.nn.gelu(x, approximate=False)
     return _dropout(x, config.dropout, rng, train)

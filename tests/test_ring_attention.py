@@ -99,3 +99,33 @@ def test_trainer_with_ring_attention():
         _, loss = trainer.train_step(state, images_j, labels_j,
                                      jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_highres_ring_preset_trains_on_mesh():
+    """A miniaturised highres_1024_ring trains one step over a 4x2 mesh:
+    the ring preset's full config surface (ring_attention + remat +
+    multi-scale head) compiles and runs under SPMD."""
+    import numpy as np
+
+    from vision_transformer_detector_tpu.config import (
+        LossConfig, TrainConfig, get_config)
+    from vision_transformer_detector_tpu.train.trainer import Trainer
+
+    config = get_config("highres_1024_ring").replace(
+        image_size=(64, 64), embedding_dim=8, num_heads=2, key_dim=4,
+        encoder_blocks=2, head_last_units=8, head_layers=2,
+        compute_dtype="float32", head_scales=(1, 2))
+    mesh = create_mesh(data=4, model=2)
+    trainer = Trainer(config, LossConfig(), TrainConfig(learning_rate=1e-3),
+                      mesh=mesh)
+    state = trainer.init_state()
+    rng = np.random.default_rng(0)
+    images = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    labels = np.full((8, config.max_objects, 6), -8.0, np.float32)
+    labels[..., 0] = 0.0
+    labels[:, 0] = (1, 3, 32.0, 32.0, 16.0, 16.0)
+    images, labels = trainer._put_batch(images, labels)
+    with mesh:
+        state, loss = trainer.train_step(state, images, labels,
+                                         jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))

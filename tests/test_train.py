@@ -258,3 +258,37 @@ def test_config_travels_with_checkpoint(tmp_path):
     h, w = det.image_size
     out = forward(state["params"], jnp.zeros((1, h, w, 3)), det)
     assert out.shape == (1, det.max_objects, 6)
+
+
+def test_rolling_checkpoints_keep_last_k(tmp_path):
+    """keep_checkpoints=k: step-stamped history is bounded, named
+    checkpoints survive GC, and restore_latest resumes the newest step."""
+    from vision_transformer_detector_tpu.utils import checkpoint as ckpt_lib
+
+    trainer = Trainer(TINY, LOSS, TC, checkpoint_dir=str(tmp_path),
+                      keep_checkpoints=2)
+    state = trainer.init_state()
+    trainer.save(state, name="highest_ap")
+    for step in (3, 7, 11):
+        state["step"] = jnp.asarray(step, jnp.int32)
+        trainer.save_rolling(state)
+
+    kept = ckpt_lib.list_step_checkpoints(str(tmp_path))
+    assert [s for s, _ in kept] == [7, 11]
+    assert (tmp_path / "highest_ap").exists()  # never pruned
+
+    restored = trainer.restore_latest(trainer.init_state(seed=9))
+    assert int(restored["step"]) == 11
+    orig = jax.tree_util.tree_leaves(state["params"])
+    rest = jax.tree_util.tree_leaves(restored["params"])
+    for a, b in zip(orig, rest):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_latest_falls_back_to_ongoing(tmp_path):
+    trainer = Trainer(TINY, LOSS, TC, checkpoint_dir=str(tmp_path))
+    state = trainer.init_state()
+    state["step"] = jnp.asarray(5, jnp.int32)
+    trainer.save(state, name="ongoing")
+    restored = trainer.restore_latest(trainer.init_state(seed=9))
+    assert int(restored["step"]) == 5

@@ -238,6 +238,27 @@ def highres_1024() -> DetectorConfig:
     )
 
 
+def highres_1024_ring() -> DetectorConfig:
+    """1024px EXACT-global-attention variant for multi-chip training.
+
+    Instead of windowing, the 4,096-token axis is sharded over the 'model'
+    mesh axis and K/V shards rotate around the ICI ring
+    (kernels/ring_attention.py): attention memory and FLOPs divide by the
+    ring size while remaining mathematically exact global attention.
+    Requires a Mesh with model axis >= 2 whose size divides 4,096
+    (the Trainer and __graft_entry__.dryrun_multichip wire this up);
+    use ``highres_1024`` (windowed) for single-chip work.
+    """
+    return DetectorConfig(
+        image_size=(1024, 1024), patch_size=16, embedding_dim=1024,
+        num_heads=16, key_dim=64, encoder_blocks=24, encoder_mlp_layers=2,
+        head_last_units=512, head_layers=3,
+        compute_dtype="bfloat16",
+        remat_encoder=True, ring_attention=True,
+        head_scales=(1, 2, 4),
+    )
+
+
 def tiny_96() -> DetectorConfig:
     """Small smoke-test config: full pipeline, minutes-scale on CPU."""
     return DetectorConfig(
@@ -254,6 +275,7 @@ PRESETS = {
     "vit_b16_384": vit_b16_384,
     "vit_l16_640": vit_l16_640,
     "highres_1024": highres_1024,
+    "highres_1024_ring": highres_1024_ring,
 }
 
 

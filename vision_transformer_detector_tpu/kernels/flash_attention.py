@@ -28,12 +28,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# dot_general dimension numbers (avoid explicit transposes in-kernel).
+_CONTRACT_LAST = (((1,), (1,)), ((), ()))    # (a, K) x (b, K)  -> (a, b)
+_CONTRACT_FIRST = (((0,), (0,)), ((), ()))   # (m, a) x (m, b)  -> (a, b)
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
                   block_kv: int, seq_len: int):
     """One (batch*head, q-block) program: stream KV blocks, keep running
-    softmax statistics in fp32."""
-    q = q_ref[0].astype(jnp.float32)            # (block_q, K)
+    softmax statistics in fp32.
+
+    MXU dots run on the INPUT dtype with fp32 accumulation: for bf16
+    inputs this is bit-identical to casting bf16->fp32 first (bf16 is a
+    subset of fp32) but uses the fast bf16 MXU path instead of the
+    multi-pass fp32 matmul (measured ~2x kernel speedup on v5e).
+    """
+    q = q_ref[0]                                # (block_q, K), input dtype
     block_q = q.shape[0]
     kv_total = k_ref.shape[1]
     num_kv = kv_total // block_kv
@@ -43,8 +53,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
         k = k_ref[0, pl.ds(i * block_kv, block_kv), :]
         v = v_ref[0, pl.ds(i * block_kv, block_kv), :]
 
-        s = jnp.dot(q, k.astype(jnp.float32).T,
-                    preferred_element_type=jnp.float32)  # (bq, bkv)
+        s = jax.lax.dot_general(
+            q, k, _CONTRACT_LAST,
+            preferred_element_type=jnp.float32)  # (bq, bkv) fp32
 
         # Mask out KV padding beyond the real sequence length.
         kv_pos = (i * block_kv
@@ -72,7 +83,7 @@ def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                       block_kv: int, seq_len: int):
     """Forward kernel that also emits logsumexp(qk) per query row — the
     residual the Pallas backward needs."""
-    q = q_ref[0].astype(jnp.float32)
+    q = q_ref[0]                                # input dtype (see above)
     block_q = q.shape[0]
     kv_total = k_ref.shape[1]
     num_kv = kv_total // block_kv
@@ -81,8 +92,8 @@ def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         m_prev, l_prev, acc_prev = carry
         k = k_ref[0, pl.ds(i * block_kv, block_kv), :]
         v = v_ref[0, pl.ds(i * block_kv, block_kv), :]
-        s = jnp.dot(q, k.astype(jnp.float32).T,
-                    preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, _CONTRACT_LAST, preferred_element_type=jnp.float32)
         kv_pos = (i * block_kv
                   + jax.lax.broadcasted_iota(jnp.int32,
                                              (block_q, block_kv), 1))
@@ -127,8 +138,9 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     def _init():
         dq_ref[...] = jnp.zeros_like(dq_ref)
 
-    k = k_ref[0].astype(jnp.float32)   # (bkv, K)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]                       # (bkv, K), input dtype
+    v = v_ref[0]
+    in_dtype = k.dtype
     block_kv = k.shape[0]
     q_total = q_ref.shape[1]
     num_q = q_total // block_q
@@ -138,29 +150,32 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         jnp.int32, (block_kv, block_q), 0)
     valid = kv_pos < seq_len
 
-    contract_last = (((1,), (1,)), ((), ()))   # (a,K)x(b,K) -> (a,b)
-    contract_first = (((0,), (0,)), ((), ()))  # (m,a)x(m,b) -> (a,b)
-
     def body(i, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        g = g_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        g = g_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
 
+        # All 5 MXU dots take input-dtype operands with fp32 accumulation;
+        # p/ds are cast back to the input dtype before their dots (the
+        # standard flash-v2 backward recipe — same cast the chunked
+        # recomputation applies).
         s_t = jax.lax.dot_general(
-            k, q, contract_last, preferred_element_type=jnp.float32)
+            k, q, _CONTRACT_LAST, preferred_element_type=jnp.float32)
         s_t = jnp.where(valid, s_t, _NEG_INF)
-        p_t = jnp.exp(s_t - lse[None, :])          # (bkv, bq)
+        p_t = jnp.exp(s_t - lse[None, :])          # (bkv, bq) fp32
         dv_acc = dv_acc + jnp.dot(
-            p_t, g, preferred_element_type=jnp.float32)     # (bkv, K)
+            p_t.astype(in_dtype), g,
+            preferred_element_type=jnp.float32)     # (bkv, K)
         dp_t = jax.lax.dot_general(
-            v, g, contract_last, preferred_element_type=jnp.float32)
-        ds_t = p_t * (dp_t - delta[None, :])        # (bkv, bq)
+            v, g, _CONTRACT_LAST, preferred_element_type=jnp.float32)
+        ds_t = p_t * (dp_t - delta[None, :])        # (bkv, bq) fp32
+        ds_c = ds_t.astype(in_dtype)
         dk_acc = dk_acc + jnp.dot(
-            ds_t, q, preferred_element_type=jnp.float32)    # (bkv, K)
+            ds_c, q, preferred_element_type=jnp.float32)    # (bkv, K)
         dq_blk = jax.lax.dot_general(
-            ds_t, k, contract_first,
+            ds_c, k, _CONTRACT_FIRST,
             preferred_element_type=jnp.float32)     # (bq, K)
         dq_ref[0, pl.ds(i * block_q, block_q), :] += dq_blk
         return dk_acc, dv_acc
@@ -175,6 +190,25 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _auto_blocks(n: int) -> tuple[int, int]:
+    """Default (block_q, block_kv) for sequence length n.
+
+    Measured on v5e (tools/bench_attention_bwd.py / PERFORMANCE.md round
+    2): the kv fori_loop and a fine q grid cost more than they save at
+    the sequence lengths this framework sees (196..4k tokens), so prefer
+    ONE kv block and the largest q block whose fp32 score tile fits a
+    ~12 MB VMEM budget without padding the query axis by more than 25%
+    (4.04 -> 1.65 ms at the ViT-L/16 640px shape).
+    """
+    n128 = _round_up(n, 128)
+    block_kv = min(n128, 2048)
+    budget_rows = (12 * 1024 * 1024) // (4 * block_kv) // 128 * 128
+    for cand in (n128, 2048, 1024, 512, 256):
+        if cand <= min(budget_rows, n128) and _round_up(n, cand) <= 1.25 * n128:
+            return cand, block_kv
+    return min(256, n128), block_kv
+
+
 # Backward implementation selector: the fused Pallas backward (logsumexp
 # residuals, one kernel emitting dq/dk/dv) vs the per-head chunked jnp
 # recomputation. Both are numerics-tested; the default is chosen by TPU
@@ -186,18 +220,25 @@ USE_PALLAS_BACKWARD = False
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    block_q: int = 256, block_kv: int = 256,
+                    block_q: int | None = None, block_kv: int | None = None,
                     interpret: bool | None = None,
                     use_pallas_backward: bool | None = None) -> jnp.ndarray:
     """Blockwise attention over (B, N, H, K) tensors -> (B, N, H, K).
 
-    Pads N to the block size and K to the MXU-friendly 64 minimum; zero
-    head-dim padding is exact (contributes nothing to q.k or p@v), KV
-    padding is masked in-kernel. Differentiable: the backward pass either
-    recomputes attention per (batch, head) group with fp32 statistics
-    (chunked) or runs the fused Pallas backward (see _flash_bwd), so
-    training composes with jax.grad/checkpoint.
+    Pads the query axis to a multiple of block_q, the KV axis to a
+    multiple of block_kv (independently) and K to the MXU-friendly 64
+    minimum; zero head-dim padding is exact (contributes nothing to q.k
+    or p@v), KV padding is masked in-kernel. Block sizes default to the
+    measured-best policy for the sequence length (_auto_blocks).
+    Differentiable: the backward pass either recomputes attention per
+    (batch, head) group with fp32 statistics (chunked) or runs the fused
+    Pallas backward (see _flash_bwd), so training composes with
+    jax.grad/checkpoint.
     """
+    if block_q is None or block_kv is None:
+        auto_q, auto_kv = _auto_blocks(q.shape[1])
+        block_q = auto_q if block_q is None else block_q
+        block_kv = auto_kv if block_kv is None else block_kv
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if use_pallas_backward is None:
@@ -243,40 +284,46 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret):
     bh = b * h
     block_q = min(block_q, _round_up(n, 128))
     block_kv = min(block_kv, _round_up(n, 128))
-    n_pad = _round_up(n, max(block_q, block_kv))
+    n_pad_q = _round_up(n, block_q)
+    n_pad_kv = _round_up(n, block_kv)
     k_pad = max(64, _round_up(kdim, 64))
 
-    def prep(t):
+    def prep(t, n_pad):
         t = t.transpose(0, 2, 1, 3).reshape(bh, n, kdim)
         return jnp.pad(t, ((0, 0), (0, n_pad - n), (0, k_pad - kdim)))
 
-    qf, kf, vf, gf = prep(q), prep(k), prep(v), prep(g)
+    qf, gf = prep(q, n_pad_q), prep(g, n_pad_q)
+    kf, vf = prep(k, n_pad_kv), prep(v, n_pad_kv)
     # delta per query row; zero on padded rows since g is zero there.
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = delta.transpose(0, 2, 1).reshape(bh, n)
-    delta = jnp.pad(delta, ((0, 0), (0, n_pad - n)))
+    delta = jnp.pad(delta, ((0, 0), (0, n_pad_q - n)))
     # 8-sublane replication (Mosaic tile constraints; see _flash_kernel_lse)
-    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, n_pad))
-    lse_p = lse  # already (bh, 8, n_pad) from the forward
+    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, n_pad_q))
+    # lse is padded to the FORWARD call's query padding; re-pad to this
+    # call's (the paddings may differ when block sizes do).
+    lse_p = lse[:, :, :n]
+    lse_p = jnp.pad(lse_p, ((0, 0), (0, 0), (0, n_pad_q - n)))
 
-    full_row_spec = pl.BlockSpec((1, 8, n_pad), lambda bh_, j: (bh_, 0, 0),
+    full_row_spec = pl.BlockSpec((1, 8, n_pad_q),
+                                 lambda bh_, j: (bh_, 0, 0),
                                  memory_space=pltpu.VMEM)
     tile_kv = pl.BlockSpec((1, block_kv, k_pad), lambda bh_, j: (bh_, j, 0),
                            memory_space=pltpu.VMEM)
-    full = pl.BlockSpec((1, n_pad, k_pad), lambda bh_, j: (bh_, 0, 0),
-                        memory_space=pltpu.VMEM)
+    full_q = pl.BlockSpec((1, n_pad_q, k_pad), lambda bh_, j: (bh_, 0, 0),
+                          memory_space=pltpu.VMEM)
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, block_q=block_q, seq_len=n),
-        grid=(bh, n_pad // block_kv),
-        in_specs=[full, tile_kv, tile_kv, full, full_row_spec,
+        grid=(bh, n_pad_kv // block_kv),
+        in_specs=[full_q, tile_kv, tile_kv, full_q, full_row_spec,
                   full_row_spec],
         # dq's index map ignores the kv axis: the block stays VMEM-resident
         # and accumulates across the sequential kv steps.
-        out_specs=(full, tile_kv, tile_kv),
-        out_shape=(jax.ShapeDtypeStruct((bh, n_pad, k_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((bh, n_pad, k_pad), k.dtype),
-                   jax.ShapeDtypeStruct((bh, n_pad, k_pad), v.dtype)),
+        out_specs=(full_q, tile_kv, tile_kv),
+        out_shape=(jax.ShapeDtypeStruct((bh, n_pad_q, k_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, n_pad_kv, k_pad), k.dtype),
+                   jax.ShapeDtypeStruct((bh, n_pad_kv, k_pad), v.dtype)),
         interpret=interpret,
     )(qf, kf, vf, gf, lse_p, delta)
 
@@ -306,13 +353,15 @@ def _flash_bwd_chunked(residuals, g):
 
     def one_head(args):
         qi, ki, vi, gi = args
-        s = jnp.dot(qi.astype(jnp.float32), ki.astype(jnp.float32).T,
-                    preferred_element_type=jnp.float32)
+        # Input-dtype operands + fp32 accumulation (fast MXU path for
+        # bf16; identical numerics to the former bf16->fp32 upcast).
+        s = jax.lax.dot_general(qi, ki, _CONTRACT_LAST,
+                                preferred_element_type=jnp.float32)
         p = jax.nn.softmax(s, axis=-1)
         dv = jnp.dot(p.T.astype(gi.dtype), gi,
                      preferred_element_type=jnp.float32)
-        dp = jnp.dot(gi.astype(jnp.float32), vi.astype(jnp.float32).T,
-                     preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gi, vi, _CONTRACT_LAST,
+                                 preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dq = jnp.dot(ds.astype(qi.dtype), ki,
                      preferred_element_type=jnp.float32)
@@ -335,24 +384,29 @@ _flash_attention_vjp.defvjp(_flash_fwd, _flash_bwd)
 def _flash_forward(q, k, v, block_q, block_kv, interpret,
                    with_lse: bool = False):
     b, n, h, kdim = q.shape
+    # Query and KV paddings are independent: q/o pad to a multiple of
+    # block_q, k/v to a multiple of block_kv. (A shared padding forced
+    # n_pad // block_q to under-cover queries whenever block_kv > block_q.)
     block_q = min(block_q, _round_up(n, 128))
     block_kv = min(block_kv, _round_up(n, 128))
-    n_pad = _round_up(n, max(block_q, block_kv))
+    n_pad_q = _round_up(n, block_q)
+    n_pad_kv = _round_up(n, block_kv)
     k_pad_dim = max(64, _round_up(kdim, 64))
 
-    def prep(t):
+    def prep(t, n_pad):
         t = t.transpose(0, 2, 1, 3).reshape(b * h, n, kdim)
         return jnp.pad(t, ((0, 0), (0, n_pad - n), (0, k_pad_dim - kdim)))
 
-    qp, kp, vp = prep(q), prep(k), prep(v)
+    qp = prep(q, n_pad_q)
+    kp, vp = prep(k, n_pad_kv), prep(v, n_pad_kv)
 
-    grid = (b * h, n_pad // block_q)
+    grid = (b * h, n_pad_q // block_q)
     in_specs = [
         pl.BlockSpec((1, block_q, k_pad_dim), lambda bh, i: (bh, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_pad, k_pad_dim), lambda bh, i: (bh, 0, 0),
+        pl.BlockSpec((1, n_pad_kv, k_pad_dim), lambda bh, i: (bh, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_pad, k_pad_dim), lambda bh, i: (bh, 0, 0),
+        pl.BlockSpec((1, n_pad_kv, k_pad_dim), lambda bh, i: (bh, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_tile = pl.BlockSpec(
@@ -376,8 +430,8 @@ def _flash_forward(q, k, v, block_q, block_kv, interpret,
                                     lambda bh, i: (bh, 0, i),
                                     memory_space=pltpu.VMEM)),
             out_shape=(
-                jax.ShapeDtypeStruct((b * h, n_pad, k_pad_dim), q.dtype),
-                jax.ShapeDtypeStruct((b * h, 8, n_pad), jnp.float32)),
+                jax.ShapeDtypeStruct((b * h, n_pad_q, k_pad_dim), q.dtype),
+                jax.ShapeDtypeStruct((b * h, 8, n_pad_q), jnp.float32)),
             cost_estimate=cost,
             interpret=interpret,
         )(qp, kp, vp)
@@ -389,7 +443,7 @@ def _flash_forward(q, k, v, block_q, block_kv, interpret,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_tile,
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, k_pad_dim), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad_q, k_pad_dim), q.dtype),
         cost_estimate=cost,
         interpret=interpret,
     )(qp, kp, vp)

@@ -36,7 +36,6 @@ def _ring_attention_local(q, k, v, axis_name: str, axis_size: int):
     (B, n_local, H, K). Rotates K/V ``axis_size`` times, accumulating
     streaming-softmax statistics in fp32."""
     b, n_q, h, kd = q.shape
-    q32 = q.astype(jnp.float32)
 
     perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
 
@@ -46,7 +45,9 @@ def _ring_attention_local(q, k, v, axis_name: str, axis_size: int):
 
     def block(carry, k_blk, v_blk):
         m, l, acc = carry
-        s = jnp.einsum("bnhk,bmhk->bhnm", q32, k_blk.astype(jnp.float32),
+        # Input-dtype operands + fp32 accumulation: fast MXU path for
+        # bf16 shards, identical numerics (bf16 is a subset of fp32).
+        s = jnp.einsum("bnhk,bmhk->bhnm", q, k_blk,
                        preferred_element_type=jnp.float32)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         alpha = jnp.exp(m - m_new)

@@ -292,7 +292,13 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
             q.astype(compute_dtype), key.astype(compute_dtype),
             v.astype(compute_dtype))
     else:
-        scores = jnp.einsum("bnhk,bmhk->bhnm", q, key,
+        # Score matmul in compute_dtype with fp32 accumulation: on TPU a
+        # bf16 x bf16 -> fp32 dot runs on the fast MXU path, while feeding
+        # fp32 operands forces the multi-pass fp32 matmul (~4x slower on
+        # v5e, measured: the headline 640px inference attention time).
+        # With compute_dtype=float32 this is a no-op cast.
+        scores = jnp.einsum("bnhk,bmhk->bhnm", q.astype(compute_dtype),
+                            key.astype(compute_dtype),
                             preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1)
         probs = _dropout(probs, config.dropout, dropout_rng, train)
@@ -353,7 +359,9 @@ def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype,
             vw.reshape(b * num_windows, tokens, h, k).astype(compute_dtype))
         out = out.reshape(b, num_windows, tokens, h, k)
     else:
-        scores = jnp.einsum("bwnhk,bwmhk->bwhnm", qw, kw,
+        # compute_dtype operands + fp32 accumulation (see _attention).
+        scores = jnp.einsum("bwnhk,bwmhk->bwhnm", qw.astype(compute_dtype),
+                            kw.astype(compute_dtype),
                             preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1)
         probs = _dropout(probs, config.dropout, dropout_rng, train)

@@ -169,6 +169,7 @@ class Trainer:
                  metrics_path: Optional[str] = None,
                  fast_metric: bool = True,
                  async_checkpointing: bool = False,
+                 keep_checkpoints: Optional[int] = None,
                  check_weights_every: Optional[int] = None,
                  check_weights_start: int = 0,
                  weight_threshold: float = 1.0):
@@ -193,6 +194,11 @@ class Trainer:
         # the device->host snapshot); fit() joins pending writes on exit.
         self._async_ckpt = (ckpt_lib.AsyncCheckpointManager()
                             if async_checkpointing else None)
+        # Rolling history: every periodic save also writes a step-stamped
+        # checkpoint and prunes to the newest ``keep_checkpoints``
+        # ("highest_ap"/"ongoing" are never pruned). None = reference
+        # behaviour (overwrite-only, no history).
+        self.keep_checkpoints = keep_checkpoints
         # CheckModelWeight twin (vtd.py:650-687): on a cadence, scan the
         # params and report NEW extrema beyond +-weight_threshold; the
         # running extremes start at the threshold so early growth doesn't
@@ -318,6 +324,8 @@ class Trainer:
                         self.save(state, name="highest_ap")
                 if self.checkpoint_dir:
                     self.save(state, name="ongoing")
+                    if self.keep_checkpoints:
+                        self.save_rolling(state)
 
             self.metrics.write(**record)
         if self._async_ckpt is not None:
@@ -343,6 +351,28 @@ class Trainer:
             self._async_ckpt.save(path, tree)
         else:
             ckpt_lib.save_checkpoint(path, tree)
+
+    def save_rolling(self, state: TrainState) -> str:
+        """Step-stamped checkpoint + GC to the newest ``keep_checkpoints``.
+
+        With async checkpointing the newest write may still be in flight;
+        pruning only ever removes OLDER step directories, so the pending
+        write is never touched.
+        """
+        name = ckpt_lib.step_checkpoint_name(int(state["step"]))
+        self.save(state, name=name)
+        if self.keep_checkpoints:
+            ckpt_lib.prune_checkpoints(self.checkpoint_dir,
+                                       self.keep_checkpoints)
+        return os.path.join(self.checkpoint_dir, name)
+
+    def restore_latest(self, state: TrainState) -> TrainState:
+        """Resume from the newest step-stamped checkpoint (falls back to
+        "ongoing" when no rolling history exists)."""
+        latest = ckpt_lib.latest_checkpoint(self.checkpoint_dir)
+        if latest is None:
+            return self.restore(state, name="ongoing")
+        return self.restore(state, name=os.path.basename(latest))
 
     def _check_weights(self, params, epoch: int) -> Dict[str, float]:
         """CheckModelWeight semantics (vtd.py:663-687): report when the

@@ -73,6 +73,66 @@ class AsyncCheckpointManager:
         self.close()
 
 
+# ---------------------------------------------------------------------------
+# Rolling step-stamped checkpoints + garbage collection (keep-last-k)
+# ---------------------------------------------------------------------------
+# Long runs save on a cadence; without GC the checkpoint dir grows without
+# bound (each full train state is params + 2 Adam moments). The reference
+# sidesteps this by overwriting a single "ongoing" file (vtd.py:2145-2146)
+# at the price of keeping no history; here "ongoing"/"highest_ap" keep
+# their reference semantics and step-stamped siblings provide bounded
+# history.
+
+_STEP_PREFIX = "step_"
+
+
+def step_checkpoint_name(step: int) -> str:
+    """Directory name for a step-stamped checkpoint (sortable)."""
+    return f"{_STEP_PREFIX}{int(step):010d}"
+
+
+def list_step_checkpoints(directory: str):
+    """[(step, path)] of step-stamped checkpoints, ascending by step."""
+    if not os.path.isdir(directory):
+        return []
+    out = []
+    for entry in os.listdir(directory):
+        if not entry.startswith(_STEP_PREFIX):
+            continue
+        try:
+            step = int(entry[len(_STEP_PREFIX):])
+        except ValueError:
+            continue
+        out.append((step, os.path.join(directory, entry)))
+    return sorted(out)
+
+
+def latest_checkpoint(directory: str):
+    """Path of the newest step-stamped checkpoint, or None."""
+    entries = list_step_checkpoints(directory)
+    return entries[-1][1] if entries else None
+
+
+def prune_checkpoints(directory: str, keep: int):
+    """Delete all but the newest ``keep`` step-stamped checkpoints.
+
+    Only ``step_*`` directories are touched — named checkpoints
+    (``highest_ap``, ``ongoing``) and ``config.json`` are never pruned.
+    Returns the removed paths.
+    """
+    import shutil
+
+    if keep < 0:
+        raise ValueError(f"keep must be >= 0, got {keep}")
+    entries = list_step_checkpoints(directory)
+    doomed = entries[:-keep] if keep else entries
+    removed = []
+    for _, path in doomed:
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed
+
+
 def save_params_npz(path: str, params: Any) -> None:
     """Portable flat .npz export of the parameter pytree (for the TF->JAX
     weight carry-over tooling and quick inspection)."""

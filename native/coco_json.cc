@@ -1,0 +1,317 @@
+// Native COCO instances-JSON parser.
+//
+// The reference parses instances_{train,val}2017.json with Python's json
+// module at import time — a minutes-scale stall on the ~450 MB train file
+// (vision_transformer_utilities.py:82-220; SURVEY.md §3.1). This extension
+// is the framework's native equivalent: a single-pass SAX-style scanner
+// that extracts ONLY the fields the annotation dict needs
+// (annotations[i].{image_id, category_id, bbox}) and skips everything else
+// (segmentation polygons are the bulk of the file), outside the GIL.
+//
+// The Python side (data/annotations.py:build_annotations_from_instances)
+// applies the reference's transforms (center format, degenerate-box fixes,
+// area sort) to the returned flat arrays, so the output dict is
+// bit-identical to the pure-Python path — tests/test_native_coco_json.py
+// asserts that.
+//
+// Build: tools/build_native.sh (setuptools, no third-party deps).
+
+#include <Python.h>
+
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Parsed {
+  std::vector<long long> image_ids;
+  std::vector<long long> category_ids;
+  std::vector<double> bboxes;  // 4 per annotation (x, y, w, h)
+  bool ok = false;
+  std::string error;
+};
+
+class Scanner {
+ public:
+  Scanner(const char* data, size_t size) : p_(data), end_(data + size) {}
+
+  bool ok() const { return error_.empty(); }
+  const std::string& error() const { return error_; }
+
+  void Fail(const char* msg) {
+    if (error_.empty()) {
+      error_ = std::string(msg) + " at byte " + std::to_string(Offset());
+    }
+    p_ = end_;
+  }
+
+  size_t Offset() const { return static_cast<size_t>(p_ - start_); }
+
+  void SetStart(const char* s) { start_ = s; }
+
+  void SkipWs() {
+    while (p_ < end_ && (*p_ == ' ' || *p_ == '\t' || *p_ == '\n' ||
+                         *p_ == '\r'))
+      ++p_;
+  }
+
+  bool Peek(char c) {
+    SkipWs();
+    return p_ < end_ && *p_ == c;
+  }
+
+  bool Consume(char c) {
+    SkipWs();
+    if (p_ < end_ && *p_ == c) {
+      ++p_;
+      return true;
+    }
+    Fail("expected punctuation");
+    return false;
+  }
+
+  // Parses a JSON string; when out != nullptr the (unescaped-enough) raw
+  // contents are copied — keys never contain escapes in COCO files, and
+  // escaped keys simply won't match our field names, which is correct
+  // behaviour for a skip-everything-else parser.
+  bool String(std::string* out) {
+    SkipWs();
+    if (p_ >= end_ || *p_ != '"') {
+      Fail("expected string");
+      return false;
+    }
+    ++p_;
+    const char* begin = p_;
+    while (p_ < end_) {
+      if (*p_ == '\\') {
+        if (p_ + 2 > end_) break;  // dangling escape -> unterminated
+        p_ += 2;  // skip the escaped character (incl. \" and \\)
+        continue;
+      }
+      if (*p_ == '"') {
+        if (out != nullptr) out->assign(begin, p_ - begin);
+        ++p_;
+        return true;
+      }
+      ++p_;
+    }
+    Fail("unterminated string");
+    return false;
+  }
+
+  bool Number(double* out) {
+    SkipWs();
+    char* next = nullptr;
+    // The underlying buffer is a PyBytes payload, which CPython
+    // null-terminates, so strtod cannot run past end_.
+    const double value = std::strtod(p_, &next);
+    if (next == p_) {
+      Fail("expected number");
+      return false;
+    }
+    p_ = next;
+    *out = value;
+    return true;
+  }
+
+  // Skips any JSON value (nested arrays/objects included).
+  bool SkipValue() {
+    SkipWs();
+    if (p_ >= end_) {
+      Fail("unexpected end of input");
+      return false;
+    }
+    const char c = *p_;
+    if (c == '"') return String(nullptr);
+    if (c == '{' || c == '[') {
+      const char open = c;
+      const char close = (c == '{') ? '}' : ']';
+      int depth = 0;
+      while (p_ < end_) {
+        const char ch = *p_;
+        if (ch == '"') {
+          if (!String(nullptr)) return false;
+          continue;
+        }
+        if (ch == open) ++depth;
+        if (ch == close && --depth == 0) {
+          ++p_;
+          return true;
+        }
+        ++p_;
+      }
+      Fail("unterminated array/object");
+      return false;
+    }
+    if (c == 't' || c == 'f' || c == 'n') {  // true / false / null
+      while (p_ < end_ &&
+             ((*p_ >= 'a' && *p_ <= 'z')))
+        ++p_;
+      return true;
+    }
+    double ignored;
+    return Number(&ignored);
+  }
+
+  const char* p_;
+  const char* end_;
+
+ private:
+  const char* start_ = nullptr;
+  std::string error_;
+};
+
+// Parses one annotation object, appending to the output arrays.
+bool ParseAnnotation(Scanner& s, Parsed& out) {
+  if (!s.Consume('{')) return false;
+  double image_id = 0, category_id = 0;
+  double bbox[4] = {0, 0, 0, 0};
+  if (!s.Peek('}')) {
+    std::string key;
+    while (true) {
+      if (!s.String(&key)) return false;
+      if (!s.Consume(':')) return false;
+      if (key == "image_id") {
+        if (!s.Number(&image_id)) return false;
+      } else if (key == "category_id") {
+        if (!s.Number(&category_id)) return false;
+      } else if (key == "bbox") {
+        if (!s.Consume('[')) return false;
+        int i = 0;
+        if (!s.Peek(']')) {
+          while (true) {
+            double v;
+            if (!s.Number(&v)) return false;
+            if (i < 4) bbox[i] = v;
+            ++i;
+            if (s.Peek(',')) {
+              s.Consume(',');
+              continue;
+            }
+            break;
+          }
+        }
+        if (!s.Consume(']')) return false;
+      } else {
+        if (!s.SkipValue()) return false;
+      }
+      if (s.Peek(',')) {
+        s.Consume(',');
+        continue;
+      }
+      break;
+    }
+  }
+  if (!s.Consume('}')) return false;
+  out.image_ids.push_back(static_cast<long long>(image_id));
+  out.category_ids.push_back(static_cast<long long>(category_id));
+  out.bboxes.insert(out.bboxes.end(), bbox, bbox + 4);
+  return true;
+}
+
+Parsed ParseInstances(const char* data, size_t size) {
+  Parsed out;
+  Scanner s(data, size);
+  s.SetStart(data);
+  if (!s.Consume('{')) {
+    out.error = s.error();
+    return out;
+  }
+  if (!s.Peek('}')) {
+    std::string key;
+    while (true) {
+      if (!s.String(&key) || !s.Consume(':')) break;
+      if (key == "annotations") {
+        if (!s.Consume('[')) break;
+        if (!s.Peek(']')) {
+          while (true) {
+            if (!ParseAnnotation(s, out)) break;
+            if (s.Peek(',')) {
+              s.Consume(',');
+              continue;
+            }
+            break;
+          }
+        }
+        if (!s.ok() || !s.Consume(']')) break;
+      } else {
+        if (!s.SkipValue()) break;
+      }
+      if (s.Peek(',')) {
+        s.Consume(',');
+        continue;
+      }
+      break;
+    }
+  }
+  if (s.ok()) s.Consume('}');
+  if (!s.ok()) {
+    out.error = s.error();
+    return out;
+  }
+  out.ok = true;
+  return out;
+}
+
+// parse_instances(data: bytes)
+//   -> (image_ids_bytes  int64[n]  little-endian native,
+//       category_ids_bytes int64[n],
+//       bbox_bytes float64[n*4],
+//       n)
+PyObject* PyParseInstances(PyObject*, PyObject* args) {
+  PyObject* bytes_obj = nullptr;
+  if (!PyArg_ParseTuple(args, "S", &bytes_obj)) return nullptr;
+  char* data = nullptr;
+  Py_ssize_t size = 0;
+  if (PyBytes_AsStringAndSize(bytes_obj, &data, &size) != 0) return nullptr;
+
+  Parsed result;
+  Py_BEGIN_ALLOW_THREADS
+  result = ParseInstances(data, static_cast<size_t>(size));
+  Py_END_ALLOW_THREADS
+
+  if (!result.ok) {
+    PyErr_SetString(PyExc_ValueError,
+                    ("COCO JSON parse failed: " + result.error).c_str());
+    return nullptr;
+  }
+
+  const Py_ssize_t n = static_cast<Py_ssize_t>(result.image_ids.size());
+  PyObject* ids = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(result.image_ids.data()),
+      n * static_cast<Py_ssize_t>(sizeof(long long)));
+  PyObject* cats = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(result.category_ids.data()),
+      n * static_cast<Py_ssize_t>(sizeof(long long)));
+  PyObject* boxes = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(result.bboxes.data()),
+      n * 4 * static_cast<Py_ssize_t>(sizeof(double)));
+  if (ids == nullptr || cats == nullptr || boxes == nullptr) {
+    Py_XDECREF(ids);
+    Py_XDECREF(cats);
+    Py_XDECREF(boxes);
+    return nullptr;
+  }
+  return Py_BuildValue("(NNNn)", ids, cats, boxes, n);
+}
+
+PyMethodDef kMethods[] = {
+    {"parse_instances", PyParseInstances, METH_VARARGS,
+     "COCO instances JSON bytes -> (image_ids i64, category_ids i64, "
+     "bbox f64 x4, n) raw little-endian buffers"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef kModule = {
+    PyModuleDef_HEAD_INIT, "_native_coco_json",
+    "Native single-pass COCO instances-JSON annotation parser.",
+    -1, kMethods,
+};
+
+}  // namespace
+
+extern "C" PyMODINIT_FUNC PyInit__native_coco_json(void) {
+  return PyModule_Create(&kModule);
+}

@@ -16,6 +16,11 @@ setup(
             sources=["native/pipeline.cc"],
             libraries=["jpeg"],
             extra_compile_args=["-O3", "-std=c++17", "-fvisibility=hidden"],
-        )
+        ),
+        Extension(
+            "_native_coco_json",
+            sources=["native/coco_json.cc"],
+            extra_compile_args=["-O3", "-std=c++17", "-fvisibility=hidden"],
+        ),
     ],
 )

@@ -1,0 +1,120 @@
+"""Native COCO instances-JSON parser vs the pure-Python path.
+
+The C++ extension (native/coco_json.cc) must produce a bit-identical
+annotation dict — including degenerate-box fixes, 3-decimal rounding,
+area sort and diagnostics — on a synthetic instances file that exercises
+escapes, nested segmentation arrays, scientific notation and the
+degenerate/negative-coordinate branches (vtu.py:82-220 semantics).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from vision_transformer_detector_tpu.data import annotations as ann
+
+
+def synthetic_instances():
+    rng = np.random.default_rng(7)
+    annotations = []
+    for i in range(500):
+        image_id = int(rng.integers(1, 40))
+        w = float(np.round(rng.uniform(0, 120), 2))
+        h = float(np.round(rng.uniform(0, 120), 2))
+        if i % 37 == 0:
+            w = 0.0          # degenerate width branch
+        elif i % 41 == 0:
+            h = 0.0          # degenerate height branch
+        x = float(np.round(rng.uniform(-2, 500), 2))  # some negative coords
+        y = float(np.round(rng.uniform(0, 500), 2))
+        annotations.append({
+            "segmentation": [[float(v) for v in rng.uniform(0, 600, 8)]],
+            "area": w * h,
+            "iscrowd": int(i % 19 == 0),
+            "image_id": image_id,
+            "bbox": [x, y, w, h],
+            "category_id": int(rng.integers(1, 91)),
+            "id": 10_000 + i,
+        })
+    return {
+        "info": {"description": "synthetic \"escaped\" \\ test\n set",
+                 "version": 1.0e0, "year": 2026, "nested": {"a": [1, [2]]}},
+        "licenses": [{"url": "http://example.com/?a=b&c=d", "id": 1}],
+        "images": [{"id": i, "file_name": f"{i:012d}.jpg",
+                    "height": 480, "width": 640} for i in range(1, 41)],
+        "annotations": annotations,
+        "categories": [{"supercategory": "thing", "id": c,
+                        "name": f"cat-{c}"} for c in range(1, 91)],
+    }
+
+
+@pytest.fixture
+def instances_path(tmp_path):
+    path = tmp_path / "instances_synthetic.json"
+    path.write_text(json.dumps(synthetic_instances()))
+    return str(path)
+
+
+needs_native = pytest.mark.skipif(
+    not ann.native_parser_available(),
+    reason="native extension not built (tools/build_native.sh)")
+
+
+@needs_native
+def test_native_matches_python(instances_path):
+    d_py = ann.build_annotations_from_instances(
+        instances_path, use_native=False)
+    d_nat = ann.build_annotations_from_instances(
+        instances_path, use_native=True)
+    assert d_py.keys() == d_nat.keys()
+    for key in d_py:
+        assert len(d_py[key]) == len(d_nat[key])
+        np.testing.assert_array_equal(
+            np.asarray(d_py[key], np.float64),
+            np.asarray(d_nat[key], np.float64), err_msg=f"image {key}")
+
+
+@needs_native
+def test_native_diagnostics_match(instances_path):
+    diag_py = ann.AnnotationDiagnostics()
+    diag_nat = ann.AnnotationDiagnostics()
+    ann.build_annotations_from_instances(
+        instances_path, use_native=False, diagnostics=diag_py)
+    ann.build_annotations_from_instances(
+        instances_path, use_native=True, diagnostics=diag_nat)
+    assert diag_py.summary() == diag_nat.summary()
+    assert diag_py.summary()["fixed_boxes"] > 0
+    assert diag_py.summary()["negative_coordinates"] > 0
+    assert diag_py.fixed_boxes == diag_nat.fixed_boxes
+    assert diag_py.negative_coordinates == diag_nat.negative_coordinates
+
+
+@needs_native
+def test_native_area_sort_descending_and_ascending(instances_path):
+    for descending in (True, False):
+        d = ann.build_annotations_from_instances(
+            instances_path, use_native=True, area_descending=descending)
+        for rows in d.values():
+            areas = [r[-1] for r in rows]
+            expected = sorted(areas, reverse=descending)
+            assert areas == expected
+
+
+@needs_native
+def test_native_rejects_malformed():
+    from vision_transformer_detector_tpu._native import _native_coco_json
+
+    with pytest.raises(ValueError):
+        _native_coco_json.parse_instances(b'{"annotations": [{"bbox": }]}')
+
+
+@needs_native
+def test_native_handles_minimal_and_empty():
+    from vision_transformer_detector_tpu._native import _native_coco_json
+
+    ids, cats, boxes, n = _native_coco_json.parse_instances(
+        b'{"annotations": []}')
+    assert n == 0
+    ids, cats, boxes, n = _native_coco_json.parse_instances(b'{}')
+    assert n == 0

@@ -97,8 +97,8 @@ def main():
 
     bench("chunked", functools.partial(
         flash_attention, use_pallas_backward=False))
-    for bq, bkv in ((256, 256), (512, 512), (1024, 512), (512, 1024),
-                    (1024, 1024)):
+    for bq, bkv in ((256, 256), (512, 512), (256, 1664), (512, 1024),
+                    (1024, 512)):
         bench(f"pallas_bwd bq={bq} bkv={bkv}", functools.partial(
             flash_attention, block_q=bq, block_kv=bkv,
             use_pallas_backward=True))

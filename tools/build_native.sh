@@ -7,4 +7,4 @@ touch vision_transformer_detector_tpu/_native/__init__.py
 python native/setup.py build_ext \
     --build-lib vision_transformer_detector_tpu/_native \
     --build-temp build/native >/dev/null
-echo "built: $(ls vision_transformer_detector_tpu/_native/_native_pipeline*.so)"
+echo "built: $(ls vision_transformer_detector_tpu/_native/*.so)"

@@ -35,6 +35,15 @@ AnnotationsDict = Dict[str, List[List[float]]]
 
 logger = logging.getLogger(__name__)
 
+try:
+    from .._native import _native_coco_json  # type: ignore
+except ImportError:  # pragma: no cover - depends on tools/build_native.sh
+    _native_coco_json = None
+
+
+def native_parser_available() -> bool:
+    return _native_coco_json is not None
+
 
 class AnnotationDiagnostics:
     """What the parse fixed or warned about (vtu.py:154-166, 182-186).
@@ -123,12 +132,92 @@ def load_annotations_dict(path: str) -> AnnotationsDict:
 def build_annotations_from_instances(path: str,
                                      area_descending: bool = True,
                                      diagnostics: Optional[
-                                         AnnotationDiagnostics] = None
+                                         AnnotationDiagnostics] = None,
+                                     use_native: Optional[bool] = None
                                      ) -> AnnotationsDict:
-    """Parse instances_{train,val}2017.json from disk."""
+    """Parse instances_{train,val}2017.json from disk.
+
+    ``use_native=None`` picks the native single-pass C++ parser
+    (native/coco_json.cc) when built — it extracts only the annotation
+    fields and skips the segmentation bulk, replacing the reference's
+    minutes-scale import-time json.load (vtu.py:214-220; measured in
+    tools/bench_annotations.py). Output is identical to the pure-Python
+    path (tests/test_native_coco_json.py asserts bit-equality).
+    """
+    if use_native is None:
+        use_native = native_parser_available()
+    if use_native:
+        if _native_coco_json is None:
+            raise RuntimeError(
+                "native COCO parser requested but not built; run "
+                "tools/build_native.sh")
+        with open(path, "rb") as f:
+            data = f.read()
+        ids_b, cats_b, boxes_b, n = _native_coco_json.parse_instances(data)
+        image_ids = np.frombuffer(ids_b, np.int64, n)
+        category_ids = np.frombuffer(cats_b, np.int64, n)
+        bboxes = np.frombuffer(boxes_b, np.float64, n * 4).reshape(n, 4)
+        return _group_annotations(image_ids, category_ids, bboxes,
+                                  area_descending, diagnostics)
     with open(path) as f:
         raw = json.load(f)
     return build_annotations_dict(raw, area_descending, diagnostics)
+
+
+def _group_annotations(image_ids: np.ndarray, category_ids: np.ndarray,
+                       bboxes: np.ndarray, area_descending: bool,
+                       diagnostics: Optional[AnnotationDiagnostics]
+                       ) -> AnnotationsDict:
+    """Flat parsed arrays -> annotation dict, replicating
+    build_annotations_dict's transforms EXACTLY.
+
+    isclose checks are vectorised; the per-row rounding keeps Python's
+    ``round`` (np.round's scaled algorithm diverges from Python's
+    correctly-rounded decimals on ties, e.g. round(x, 1) off by 0.1 —
+    caught by tests/test_native_coco_json.py). The heavy lifting (the
+    JSON parse) already happened natively; this loop is seconds on the
+    full train set.
+    """
+    w_fixed = np.isclose(bboxes[:, 2], 0)
+    h_fixed = ~w_fixed & np.isclose(bboxes[:, 3], 0)
+
+    image_id_list = image_ids.tolist()
+    category_list = category_ids.tolist()
+    bbox_list = bboxes.tolist()
+    annotations_dict: AnnotationsDict = {}
+    for i, (image_id_int, category_id, bbox) in enumerate(
+            zip(image_id_list, category_list, bbox_list)):
+        image_id = str(image_id_int)
+        top_left_x, top_left_y, width, height = bbox
+        center_x = round(top_left_x + width / 2, 3)
+        center_y = round(top_left_y + height / 2, 3)
+        if w_fixed[i]:
+            width = 1
+            if diagnostics is not None:
+                diagnostics.fixed_boxes.append(
+                    ["Width", i, image_id, category_id, center_x, center_y])
+        elif h_fixed[i]:
+            height = 1
+            if diagnostics is not None:
+                diagnostics.fixed_boxes.append(
+                    ["Height", i, image_id, category_id, center_x, center_y])
+        area = round(width * height, 1)
+        annotations_dict.setdefault(image_id, []).append(
+            [category_id, center_x, center_y, height, width, area])
+        if top_left_x < 0 or top_left_y < 0:
+            logger.warning(
+                "Bbox error! Annotation index: %d, image_id: %s, "
+                "category_id: %s: bbox coordinates are smaller than 0 "
+                "(bbox[0]=%s, bbox[1]=%s)",
+                i, image_id, category_id, top_left_x, top_left_y)
+            if diagnostics is not None:
+                diagnostics.negative_coordinates.append(
+                    [i, image_id, category_id, top_left_x, top_left_y])
+
+    reverse = bool(area_descending)
+    for key in annotations_dict:
+        annotations_dict[key].sort(key=lambda a: a[-1], reverse=reverse)
+    return annotations_dict
 
 
 def save_annotations_dict(annotations: AnnotationsDict, path: str) -> None:

@@ -334,6 +334,26 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret):
     return (unprep(dq, q.dtype), unprep(dk, k.dtype), unprep(dv, v.dtype))
 
 
+# Per-iteration fp32 score memory budget for the chunked backward. Swept
+# on v5e at the ViT-L/16 640px shape (tools/bench_attention_bwd.py):
+# groups 1/2/4 are within noise (2.77-2.83 ms), 8+ falls off a cliff
+# (8.5 ms — the grouped N x N fp32 blocks spill); so ~3 x 4 x N^2 x group
+# must stay under ~100 MB. At small N (windowed attention: 256-token
+# windows fold to a huge batch*head axis) a group of 1 instead drowns in
+# lax.map iteration overhead — 2048 sequential 256x256 backwards traced
+# at 192 ms/step on the 1024px preset.
+_CHUNK_BUDGET_BYTES = 96 * 1024 * 1024
+_CHUNK_GROUP_CAP = 32
+
+
+def _chunk_group(bh: int, n: int) -> int:
+    group = min(_CHUNK_GROUP_CAP, bh,
+                max(1, _CHUNK_BUDGET_BYTES // (3 * 4 * n * n)))
+    while bh % group:
+        group -= 1
+    return group
+
+
 def _flash_bwd_chunked(residuals, g):
     """Attention backward, recomputed per (batch*head) chunk.
 
@@ -341,36 +361,45 @@ def _flash_bwd_chunked(residuals, g):
       p  = softmax(q k^T)          ds = p * (dp - rowsum(dp * p))
       dv = p^T g                   dq = ds k,  dk = ds^T q
     Memory is bounded by chunking the fused batch*head axis through
-    lax.map (one N x N score block per head at a time).
+    lax.map (_CHUNK_GROUP heads' N x N score blocks at a time).
     """
     q, k, v = residuals
     b, n, h, kdim = q.shape
+    bh = b * h
+    group = _chunk_group(bh, n)
 
     def to_bh(t):
-        return t.transpose(0, 2, 1, 3).reshape(b * h, n, kdim)
+        t = t.transpose(0, 2, 1, 3).reshape(bh, n, kdim)
+        return t.reshape(bh // group, group, n, kdim)
 
     qf, kf, vf, gf = (to_bh(t) for t in (q, k, v, g))
 
-    def one_head(args):
+    batch_last = (((2,), (2,)), ((0,), (0,)))   # (g,n,K)x(g,m,K)->(g,n,m)
+    batch_mid = (((1,), (1,)), ((0,), (0,)))    # (g,n,m)x(g,n,K)->(g,m,K)
+    batch_lm = (((2,), (1,)), ((0,), (0,)))     # (g,n,m)x(g,m,K)->(g,n,K)
+
+    def heads(args):
         qi, ki, vi, gi = args
         # Input-dtype operands + fp32 accumulation (fast MXU path for
         # bf16; identical numerics to the former bf16->fp32 upcast).
-        s = jax.lax.dot_general(qi, ki, _CONTRACT_LAST,
+        s = jax.lax.dot_general(qi, ki, batch_last,
                                 preferred_element_type=jnp.float32)
         p = jax.nn.softmax(s, axis=-1)
-        dv = jnp.dot(p.T.astype(gi.dtype), gi,
-                     preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(gi, vi, _CONTRACT_LAST,
+        pc = p.astype(gi.dtype)
+        dv = jax.lax.dot_general(pc, gi, batch_mid,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gi, vi, batch_last,
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.dot(ds.astype(qi.dtype), ki,
-                     preferred_element_type=jnp.float32)
-        dk = jnp.dot(ds.T.astype(qi.dtype), qi,
-                     preferred_element_type=jnp.float32)
+        dsc = ds.astype(qi.dtype)
+        dq = jax.lax.dot_general(dsc, ki, batch_lm,
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(dsc, qi, batch_mid,
+                                 preferred_element_type=jnp.float32)
         return (dq.astype(qi.dtype), dk.astype(ki.dtype),
                 dv.astype(vi.dtype))
 
-    dqf, dkf, dvf = jax.lax.map(one_head, (qf, kf, vf, gf))
+    dqf, dkf, dvf = jax.lax.map(heads, (qf, kf, vf, gf))
 
     def from_bh(t):
         return t.reshape(b, h, n, kdim).transpose(0, 2, 1, 3)

@@ -236,7 +236,8 @@ def _dropout(x, rate, rng, train):
 
 
 def _attention(x, mha, config: DetectorConfig, compute_dtype,
-               dropout_rng=None, train: bool = False, mesh=None):
+               dropout_rng=None, train: bool = False, mesh=None,
+               window_major: bool = False):
     """Multi-head self-attention (keras MHA semantics, vtd.py:364-369).
 
     Routes through the Pallas flash-attention kernel when
@@ -282,7 +283,8 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
         attn_out = _windowed_attention(
             q, key, v, gh, gw, window, config, compute_dtype,
             dropout_rng=dropout_rng if dropping else None, train=train,
-            use_flash=config.use_flash_attention and not dropping)
+            use_flash=config.use_flash_attention and not dropping,
+            window_major=window_major)
     elif config.use_flash_attention and not dropping:
         # The Pallas kernel has no in-kernel RNG; under training dropout the
         # einsum path below keeps the exact keras probability-dropout
@@ -319,7 +321,8 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
 
 def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype,
                         dropout_rng=None, train: bool = False,
-                        use_flash: bool = False):
+                        use_flash: bool = False,
+                        window_major: bool = False):
     """Non-overlapping local window attention over the patch grid.
 
     The token axis is reshaped to (gh/w, w, gw/w, w) windows; attention runs
@@ -336,6 +339,11 @@ def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype,
     train WITHOUT encoder rematerialisation (PERFORMANCE.md round 2: the
     einsum path's saved probabilities both OOM un-remat'd and dominate
     HBM traffic remat'd).
+
+    ``window_major`` means the caller already ordered the token axis
+    window-major (forward() permutes ONCE at encoder entry), so the
+    fold/unfold here is a free reshape instead of a per-layer transpose —
+    traced at 288 ms/step of raw copies at the 1024px preset before this.
     """
     b, n, h, k = q.shape
     assert gh % window == 0 and gw % window == 0, (
@@ -344,10 +352,14 @@ def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype,
     num_windows = nh * nw
     tokens = window * window
 
-    def to_windows(t):
-        t = t.reshape(b, nh, window, nw, window, h, k)
-        t = t.transpose(0, 1, 3, 2, 4, 5, 6)
-        return t.reshape(b, num_windows, tokens, h, k)
+    if window_major:
+        def to_windows(t):
+            return t.reshape(b, num_windows, tokens, h, k)
+    else:
+        def to_windows(t):
+            t = t.reshape(b, nh, window, nw, window, h, k)
+            t = t.transpose(0, 1, 3, 2, 4, 5, 6)
+            return t.reshape(b, num_windows, tokens, h, k)
 
     qw, kw, vw = to_windows(q), to_windows(key), to_windows(v)
 
@@ -368,6 +380,8 @@ def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype,
         out = jnp.einsum("bwhnm,bwmhk->bwnhk", probs.astype(compute_dtype),
                          vw.astype(compute_dtype),
                          preferred_element_type=jnp.float32)
+    if window_major:
+        return out.reshape(b, n, h, k)
     out = out.reshape(b, nh, nw, window, window, h, k)
     out = out.transpose(0, 1, 3, 2, 4, 5, 6)
     return out.reshape(b, n, h, k)
@@ -388,7 +402,8 @@ def _maybe_shard_sequence(x, config: DetectorConfig):
 
 
 def _encoder_block(x, block, config: DetectorConfig, compute_dtype,
-                   rng=None, train: bool = False, mesh=None):
+                   rng=None, train: bool = False, mesh=None,
+                   window_major: bool = False):
     """Pre-LN MHA + descending mish pyramid, both residual (vtd.py:350-412)."""
     rngs = jax.random.split(rng, 2 + len(block["mlp"])) if rng is not None \
         else [None] * (2 + len(block["mlp"]))
@@ -396,7 +411,8 @@ def _encoder_block(x, block, config: DetectorConfig, compute_dtype,
     side = x
     x = _layer_norm(x, block["ln1"])
     x = _attention(x, block["mha"], config, compute_dtype,
-                   dropout_rng=rngs[0], train=train, mesh=mesh)
+                   dropout_rng=rngs[0], train=train, mesh=mesh,
+                   window_major=window_major)
     x = x + side
 
     side = x
@@ -459,6 +475,23 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
     x = x + params["position_embedding"].astype(compute_dtype)[None]
     x = _maybe_shard_sequence(x, config)
 
+    # Windowed attention: reorder the token axis window-major ONCE here so
+    # every block's window fold/unfold is a free reshape. The MLP/LN/
+    # residual stack is position-independent, so only this entry permute,
+    # the exit inverse below, and the (order-sensitive) positional
+    # embedding and head see the token order at all. Before this, each of
+    # the 24 blocks paid 6 window transposes (traced: 288 ms/step of raw
+    # copies at the 1024px preset).
+    window = config.attention_window
+    window_major = window is not None and not config.ring_attention
+    if window_major:
+        gh, gw = config.grid_size
+        nh, nw = gh // window, gw // window
+        bsz, _, d = x.shape
+        x = x.reshape(bsz, nh, window, nw, window, d)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, nh * nw *
+                                                  window * window, d)
+
     # --- encoder ------------------------------------------------------------
     n_blocks = len(params["encoder"])
     block_rngs = (jax.random.split(dropout_rng, n_blocks)
@@ -469,7 +502,8 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
         # version takes only pytree positionals.
         def block_fn(x, block, rng):
             return _encoder_block(x, block, config, compute_dtype, rng,
-                                  train=train, mesh=mesh)
+                                  train=train, mesh=mesh,
+                                  window_major=window_major)
         if config.remat_policy == "dots":
             # Save matmul outputs, recompute only elementwise ops: at
             # ViT-L/16 640px this recovers most of full remat's extra
@@ -488,11 +522,19 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
     else:
         def block_fn(x, block, rng):
             return _encoder_block(x, block, config, compute_dtype, rng,
-                                  train=train, mesh=mesh)
+                                  train=train, mesh=mesh,
+                                  window_major=window_major)
 
     for block, rng in zip(params["encoder"], block_rngs):
         x = block_fn(x, block, rng)
         x = _maybe_shard_sequence(x, config)
+
+    if window_major:
+        # Inverse permute: the head's token-dense and multi-scale pooling
+        # are position-sensitive and expect row-major grid order.
+        x = x.reshape(bsz, nh, nw, window, window, d)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, nh * nw *
+                                                  window * window, d)
 
     # --- head (vtd.py:417-495) ----------------------------------------------
     b = x.shape[0]

@@ -33,7 +33,12 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fused-ffn", action="store_true")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--restore", default=None,
-                   help="checkpoint name to restore (e.g. 'ongoing')")
+                   help="checkpoint name to restore (e.g. 'ongoing'), or "
+                        "'latest' for the newest step-stamped checkpoint")
+    p.add_argument("--keep-checkpoints", type=int, default=None,
+                   help="also write step-stamped checkpoints at each "
+                        "periodic save, GC'd to the newest K (ongoing/"
+                        "highest_ap are never pruned)")
     p.add_argument("--params-npz", default=None,
                    help="load params from a .npz export "
                         "(tools/convert_tf_checkpoint.py output)")
@@ -95,11 +100,14 @@ def cmd_train(args) -> None:
                       steps_per_epoch=max(1, len(train_data)),
                       mesh=_maybe_mesh(args),
                       checkpoint_dir=args.checkpoint_dir,
+                      keep_checkpoints=args.keep_checkpoints,
                       metrics_path=args.metrics)
     state = trainer.init_state()
     if args.params_npz:
         state["params"] = load_params_npz(args.params_npz, state["params"])
-    if args.restore:
+    if args.restore == "latest":
+        state = trainer.restore_latest(state)
+    elif args.restore:
         state = trainer.restore(state, args.restore)
     state = trainer.fit(state, train_data, epochs=args.epochs,
                         eval_data=eval_data)

@@ -1,0 +1,70 @@
+"""StableHLO export round-trip: artifact == live model.
+
+The exported artifact (export.py) must reproduce the live forward+decode
+(to AOT-vs-JIT fp tolerance - the AOT pipeline optimises differently),
+reload without the model-building code path, and enforce its recorded
+input shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_transformer_detector_tpu.config import DetectorConfig
+from vision_transformer_detector_tpu.export import (load_exported,
+                                                    save_exported)
+from vision_transformer_detector_tpu.models.vit_detector import (forward,
+                                                                 init_params)
+from vision_transformer_detector_tpu.ops.decode import transform_predictions
+
+TINY = DetectorConfig(
+    image_size=(34, 34), embedding_dim=8, num_heads=2, key_dim=4,
+    encoder_blocks=2, encoder_mlp_layers=2, head_last_units=8, head_layers=2)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    path = str(tmp_path_factory.mktemp("export") / "model")
+    save_exported(path, params, TINY, batch_size=2)
+    return path, params
+
+
+def test_export_roundtrip_exact(artifact):
+    path, params = artifact
+    detector = load_exported(path)
+    assert detector.batch_size == 2
+    assert detector.config == TINY
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 34, 34, 3),
+                                minval=-1, maxval=1)
+    want = transform_predictions(forward(params, images, TINY), TINY)
+    got = detector(images)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_export_rejects_wrong_batch(artifact):
+    path, _ = artifact
+    detector = load_exported(path)
+    with pytest.raises(Exception):
+        detector(jnp.zeros((3, 34, 34, 3)))
+
+
+def test_export_multi_scale_head_params_roundtrip(tmp_path):
+    """The npz unflattening handles list-valued pytree nodes (multi-scale
+    head stores a LIST of dense layers)."""
+    cfg = DetectorConfig(
+        image_size=(64, 64), patch_size=16, embedding_dim=8, num_heads=2,
+        key_dim=4, encoder_blocks=1, encoder_mlp_layers=1,
+        head_last_units=8, head_layers=1, head_scales=(1, 2))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "model")
+    save_exported(path, params, cfg, batch_size=1)
+    detector = load_exported(path)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3),
+                                minval=-1, maxval=1)
+    want = transform_predictions(forward(params, images, cfg), cfg)
+    np.testing.assert_allclose(np.asarray(detector(images)),
+                               np.asarray(want), rtol=1e-4, atol=1e-4)

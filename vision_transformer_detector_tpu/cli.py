@@ -290,6 +290,35 @@ def cmd_serve(args) -> None:
     server.serve_forever()
 
 
+def cmd_export(args) -> None:
+    from .export import save_exported
+    from .models.vit_detector import init_params
+    from .train.trainer import Trainer
+    from .utils.checkpoint import load_params_npz
+
+    import jax
+
+    config = _build_config(args)
+    if args.params_npz:
+        params = init_params(jax.random.PRNGKey(0), config)
+        params = load_params_npz(args.params_npz, params)
+    elif args.restore:
+        trainer = Trainer(config, checkpoint_dir=args.checkpoint_dir)
+        state = trainer.init_state()
+        if args.restore == "latest":
+            state = trainer.restore_latest(state)
+        else:
+            state = trainer.restore(state, args.restore)
+        params = state["params"]
+    else:
+        params = init_params(jax.random.PRNGKey(0), config)
+    path = save_exported(args.output_dir, params, config,
+                         batch_size=args.batch_size,
+                         platforms=args.platforms)
+    print(json.dumps({"exported": path, "batch_size": args.batch_size,
+                      "platforms": args.platforms or ["native"]}))
+
+
 def cmd_plot(args) -> None:
     from .utils.plotting import plot_training_curves
 
@@ -383,6 +412,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve int8-quantized weights (2x MXU peak; "
                         "AP-retention-tested, kernels/quantization.py)")
     p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser(
+        "export", help="serialize a StableHLO inference artifact")
+    _add_model_args(p)
+    p.add_argument("--output-dir", default="exported_model")
+    p.add_argument("--platforms", nargs="*", default=None,
+                   help="lowering platforms (e.g. tpu cpu); default: "
+                        "the current backend")
+    p.set_defaults(func=cmd_export)
 
     p = sub.add_parser("plot", help="loss/AP training curves")
     p.add_argument("--metrics", required=True)

@@ -138,3 +138,17 @@ def test_cli_stats(dataset, capsys):
     result = json.loads(capsys.readouterr().out)
     assert result["images"] == 4
     assert result["most_frequent_category"] == 1
+
+
+def test_cli_export_and_reload(tmp_path, capsys):
+    out_dir = str(tmp_path / "exported")
+    main(["export", "--preset", "tiny_96", "--batch-size", "2",
+          "--output-dir", out_dir])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["exported"] == out_dir
+    assert os.path.exists(os.path.join(out_dir, "model.stablehlo"))
+
+    from vision_transformer_detector_tpu.export import load_exported
+    detector = load_exported(out_dir)
+    out = detector(np.zeros((2, 96, 96, 3), np.float32))
+    assert out.shape == (2, 17, 6)

@@ -208,3 +208,26 @@ def test_pallas_fused_backward_multi_tile():
     for a, b in zip(grads_flash, grads_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_auto_block_policy():
+    """Lock the measured-best block policy (PERFORMANCE.md round 2b):
+    one KV block at framework sequence lengths, largest VMEM-safe q
+    block, paddings independent."""
+    from vision_transformer_detector_tpu.kernels.flash_attention import (
+        _auto_blocks)
+
+    # reference arch 608px: 1296 tokens -> single program per (batch, head)
+    bq, bkv = _auto_blocks(1296)
+    assert bkv == 1408 and bq == 1408
+    # L/16 640px: 1600 tokens
+    bq, bkv = _auto_blocks(1600)
+    assert bkv == 1664 and bq == 1664
+    # 1024px global: 4096 tokens -> kv capped, q blocked to fit the
+    # fp32 score tile in the ~12 MB budget with zero padding waste
+    bq, bkv = _auto_blocks(4096)
+    assert bkv == 2048 and bq == 1024
+    assert bq * bkv * 4 <= 12 * 1024 * 1024
+    # windowed 256-token fold and tiny test shapes stay minimal
+    assert _auto_blocks(256) == (256, 256)
+    assert _auto_blocks(16) == (128, 128)

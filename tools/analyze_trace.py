@@ -55,6 +55,9 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("trace", help="trace dir or .trace.json.gz file")
     parser.add_argument("--top", type=int, default=25)
+    parser.add_argument("--raw", action="store_true",
+                        help="don't collapse numbered op variants "
+                             "(fusion.123 stays distinct)")
     args = parser.parse_args()
 
     path = find_trace_file(args.trace)
@@ -77,7 +80,8 @@ def main() -> None:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
         dur = e.get("dur", 0) / 1e3  # us -> ms
-        name = normalize(e.get("name", "?"))
+        name = e.get("name", "?") if args.raw else normalize(
+            e.get("name", "?"))
         by_op[name] += dur
         by_cat[categorize(name)] += dur
         total += dur

@@ -343,12 +343,18 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret):
 # lax.map iteration overhead — 2048 sequential 256x256 backwards traced
 # at 192 ms/step on the 1024px preset.
 _CHUNK_BUDGET_BYTES = 96 * 1024 * 1024
-_CHUNK_GROUP_CAP = 32
+# Group only as much as needed to keep the lax.map iteration count at or
+# below this — grouping beyond that adds reshape overhead for nothing
+# (measured: ViT-S/16 (bh=48) trains 5.15 ms ungrouped vs 6.47 ms at
+# group 24; the 1024px windowed preset (bh=2048) needs grouping or its
+# backward is 192 ms of loop overhead).
+_CHUNK_MAX_ITERATIONS = 128
 
 
 def _chunk_group(bh: int, n: int) -> int:
-    group = min(_CHUNK_GROUP_CAP, bh,
-                max(1, _CHUNK_BUDGET_BYTES // (3 * 4 * n * n)))
+    budget = max(1, _CHUNK_BUDGET_BYTES // (3 * 4 * n * n))
+    target = -(-bh // _CHUNK_MAX_ITERATIONS)
+    group = max(1, min(target, budget, bh))
     while bh % group:
         group -= 1
     return group

@@ -316,3 +316,35 @@ def test_window_major_forward_golden_vs_einsum_oracle():
         use_flash_attention=True))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_flash),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_alternate_remat_matches_no_remat():
+    """remat_policy='alternate' (checkpoint every other block) is a pure
+    memory/time tradeoff — forward values and gradients match the
+    un-remat'd model exactly."""
+    from vision_transformer_detector_tpu.config import LossConfig
+    from vision_transformer_detector_tpu.ops.loss import detection_loss
+
+    cfg = DetectorConfig(image_size=(34, 34), embedding_dim=8, num_heads=2,
+                         key_dim=4, encoder_blocks=4, encoder_mlp_layers=2,
+                         head_last_units=8, head_layers=1)
+    cfg_alt = cfg.replace(remat_encoder=True, remat_policy="alternate")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 34, 34, 3),
+                                minval=-1, maxval=1)
+    labels = np.full((2, cfg.max_objects, 6), -8.0, np.float32)
+    labels[..., 0] = 0.0
+    labels[0, 0] = (1, 5, 17.0, 17.0, 10.0, 10.0)
+    labels = jnp.asarray(labels)
+
+    def loss_fn(cfg_):
+        return lambda p: detection_loss(
+            labels, forward(p, images, cfg_), cfg_, LossConfig())
+
+    l0, g0 = jax.value_and_grad(loss_fn(cfg))(params)
+    l1, g1 = jax.value_and_grad(loss_fn(cfg_alt))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

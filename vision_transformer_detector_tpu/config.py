@@ -75,11 +75,14 @@ class DetectorConfig:
     use_fused_ffn: bool = False        # Pallas fused dense+mish kernel
     remat_encoder: bool = False        # jax.checkpoint each encoder block
     # Rematerialisation policy when remat_encoder is on:
-    #   None    -> save nothing, recompute the whole block (max memory
-    #              saving, ~1/3 extra forward FLOPs in the backward),
-    #   "dots"  -> jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
-    #              matmul outputs are saved, only cheap elementwise work is
-    #              recomputed (profile-guided default for vit_l16_640).
+    #   None        -> save nothing, recompute the whole block (max memory
+    #                  saving, ~1/3 extra forward FLOPs in the backward),
+    #   "dots"      -> jax.checkpoint_policies.dots_with_no_batch_dims_
+    #                  saveable: matmul outputs are saved, only cheap
+    #                  elementwise work is recomputed,
+    #   "alternate" -> checkpoint every OTHER block: half the recompute at
+    #                  roughly half of no-remat's activation memory
+    #                  (measured default for highres_1024).
     remat_policy: Optional[str] = None
     # Windowed attention for the high-res variant (BASELINE configs[4]).
     attention_window: Optional[int] = None  # window size in patch rows/cols
@@ -227,13 +230,18 @@ def vit_l16_640() -> DetectorConfig:
 
 
 def highres_1024() -> DetectorConfig:
-    """BASELINE configs[4]: 1024px windowed-attention variant."""
+    """BASELINE configs[4]: 1024px windowed-attention variant.
+
+    remat_policy="alternate" (checkpoint every other block) by
+    measurement: remat-off and 'dots' both OOM at batch 8 while full
+    remat wastes recompute — alternate trains at 610 vs 706 ms/step
+    (PERFORMANCE.md round 2b)."""
     return DetectorConfig(
         image_size=(1024, 1024), patch_size=16, embedding_dim=1024,
         num_heads=16, key_dim=64, encoder_blocks=24, encoder_mlp_layers=2,
         head_last_units=512, head_layers=3,
         compute_dtype="bfloat16", use_flash_attention=True,
-        remat_encoder=True, attention_window=16,
+        remat_encoder=True, remat_policy="alternate", attention_window=16,
         head_scales=(1, 2, 4),  # multi-scale detection head
     )
 

@@ -497,36 +497,42 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
     block_rngs = (jax.random.split(dropout_rng, n_blocks)
                   if dropout_rng is not None else [None] * n_blocks)
 
+    def plain_block_fn(x, block, rng):
+        return _encoder_block(x, block, config, compute_dtype, rng,
+                              train=train, mesh=mesh,
+                              window_major=window_major)
+
+    # Close over the static arguments; jax.checkpoint in this JAX
+    # version takes only pytree positionals.
+    block_fn = plain_block_fn
+    alternate = False
     if config.remat_encoder:
-        # Close over the static arguments; jax.checkpoint in this JAX
-        # version takes only pytree positionals.
-        def block_fn(x, block, rng):
-            return _encoder_block(x, block, config, compute_dtype, rng,
-                                  train=train, mesh=mesh,
-                                  window_major=window_major)
         if config.remat_policy == "dots":
             # Save matmul outputs, recompute only elementwise ops: at
             # ViT-L/16 640px this recovers most of full remat's extra
             # forward FLOPs while still bounding activation memory
             # (PERFORMANCE.md round-2 profiling).
             block_fn = jax.checkpoint(
-                block_fn,
+                plain_block_fn,
                 policy=jax.checkpoint_policies
                 .dots_with_no_batch_dims_saveable)
+        elif config.remat_policy == "alternate":
+            # Checkpoint every OTHER block: half the backward's forward
+            # recompute of full remat at roughly half of no-remat's
+            # activation memory — the middle point for presets where
+            # remat-off OOMs but full remat wastes FLOPs (highres_1024).
+            block_fn = jax.checkpoint(plain_block_fn)
+            alternate = True
         elif config.remat_policy is None:
-            block_fn = jax.checkpoint(block_fn)
+            block_fn = jax.checkpoint(plain_block_fn)
         else:
             raise ValueError(
                 f"unknown remat_policy {config.remat_policy!r}; "
-                "use None or 'dots'")
-    else:
-        def block_fn(x, block, rng):
-            return _encoder_block(x, block, config, compute_dtype, rng,
-                                  train=train, mesh=mesh,
-                                  window_major=window_major)
+                "use None, 'dots' or 'alternate'")
 
-    for block, rng in zip(params["encoder"], block_rngs):
-        x = block_fn(x, block, rng)
+    for i, (block, rng) in enumerate(zip(params["encoder"], block_rngs)):
+        fn = plain_block_fn if (alternate and i % 2) else block_fn
+        x = fn(x, block, rng)
         x = _maybe_shard_sequence(x, config)
 
     if window_major:

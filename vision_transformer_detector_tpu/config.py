@@ -215,10 +215,13 @@ def vit_b16_384() -> DetectorConfig:
 def vit_l16_640() -> DetectorConfig:
     """BASELINE configs[3]: ViT-L/16 detector, 640px, bf16 flash attention.
 
-    remat is OFF by profiling (tools/profile_l16.py, PERFORMANCE.md round
-    2): at batch 8 the un-remat'd train step fits in ~10 GB peak and runs
-    432 -> 312 ms. For per-chip batches beyond ~8, turn remat back on
-    (``replace(remat_encoder=True)``) or shard the batch over more chips.
+    remat is OFF by profiling (tools/profile_l16.py, PERFORMANCE.md
+    rounds 2-2b): at batch 8 the un-remat'd train step fits in ~10 GB
+    peak and runs 432 -> 258 ms; measured at batch 16 it still fits and
+    scales linearly (502.7 ms, 31.8 img/s) while both remat variants are
+    slower there (full 650.9 ms; 'alternate' thrashes at 2168 ms — its
+    half-saved activations oversubscribe HBM at this shape). Turn remat
+    back on only when a larger per-chip batch actually OOMs.
     """
     return DetectorConfig(
         image_size=(640, 640), patch_size=16, embedding_dim=1024,

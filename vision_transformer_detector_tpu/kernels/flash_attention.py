@@ -222,8 +222,16 @@ USE_PALLAS_BACKWARD = False
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int | None = None, block_kv: int | None = None,
                     interpret: bool | None = None,
-                    use_pallas_backward: bool | None = None) -> jnp.ndarray:
-    """Blockwise attention over (B, N, H, K) tensors -> (B, N, H, K).
+                    use_pallas_backward: bool | None = None,
+                    layout: str = "bnhk") -> jnp.ndarray:
+    """Blockwise attention; in/out layout per ``layout``.
+
+    ``layout="bnhk"``: (B, N, H, K) tensors (the historical contract —
+    requires an internal transpose to the kernel's (B*H, N, K) shape).
+    ``layout="bhnk"``: (B, H, N, K) tensors — heads-major, so folding to
+    the kernel shape is a FREE reshape; callers that can produce
+    heads-major projections avoid 4 transposes per attention call
+    (models/vit_detector.py does).
 
     Pads the query axis to a multiple of block_q, the KV axis to a
     multiple of block_kv (independently) and K to the MXU-friendly 64
@@ -235,8 +243,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Pallas backward (see _flash_bwd), so training composes with
     jax.grad/checkpoint.
     """
+    if layout not in ("bnhk", "bhnk"):
+        raise ValueError(f"unknown layout {layout!r}")
+    n = q.shape[1] if layout == "bnhk" else q.shape[2]
     if block_q is None or block_kv is None:
-        auto_q, auto_kv = _auto_blocks(q.shape[1])
+        auto_q, auto_kv = _auto_blocks(n)
         block_q = auto_q if block_q is None else block_q
         block_kv = auto_kv if block_kv is None else block_kv
     if interpret is None:
@@ -244,34 +255,38 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if use_pallas_backward is None:
         use_pallas_backward = USE_PALLAS_BACKWARD
     return _flash_attention_vjp(q, k, v, block_q, block_kv, interpret,
-                                bool(use_pallas_backward))
+                                bool(use_pallas_backward), layout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_attention_vjp(q, k, v, block_q, block_kv, interpret,
-                         use_pallas_backward):
-    return _flash_forward(q, k, v, block_q, block_kv, interpret)
+                         use_pallas_backward, layout):
+    return _flash_forward(q, k, v, block_q, block_kv, interpret,
+                          layout=layout)
 
 
-def _flash_fwd(q, k, v, block_q, block_kv, interpret, use_pallas_backward):
+def _flash_fwd(q, k, v, block_q, block_kv, interpret, use_pallas_backward,
+               layout):
     if use_pallas_backward:
         out, lse = _flash_forward(q, k, v, block_q, block_kv, interpret,
-                                  with_lse=True)
+                                  with_lse=True, layout=layout)
         return out, (q, k, v, out, lse)
-    out = _flash_forward(q, k, v, block_q, block_kv, interpret)
+    out = _flash_forward(q, k, v, block_q, block_kv, interpret,
+                         layout=layout)
     return out, (q, k, v, None, None)
 
 
-def _flash_bwd(block_q, block_kv, interpret, use_pallas_backward,
+def _flash_bwd(block_q, block_kv, interpret, use_pallas_backward, layout,
                residuals, g):
     q, k, v, out, lse = residuals
     if use_pallas_backward:
         return _flash_bwd_pallas(q, k, v, out, lse, g,
-                                 block_q, block_kv, interpret)
-    return _flash_bwd_chunked((q, k, v), g)
+                                 block_q, block_kv, interpret, layout)
+    return _flash_bwd_chunked((q, k, v), g, layout)
 
 
-def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret):
+def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret,
+                      layout: str = "bnhk"):
     """Fused single-kernel flash backward with saved logsumexp.
 
     delta = rowsum(g * out) (the softmax-jacobian correction) is cheap
@@ -280,7 +295,11 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret):
     (round-1's separate dq/dkv kernels recomputed every score block twice
     and streamed the operands twice). All statistics fp32.
     """
-    b, n, h, kdim = q.shape
+    heads_major = layout == "bhnk"
+    if heads_major:
+        b, h, n, kdim = q.shape
+    else:
+        b, n, h, kdim = q.shape
     bh = b * h
     block_q = min(block_q, _round_up(n, 128))
     block_kv = min(block_kv, _round_up(n, 128))
@@ -289,14 +308,18 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret):
     k_pad = max(64, _round_up(kdim, 64))
 
     def prep(t, n_pad):
-        t = t.transpose(0, 2, 1, 3).reshape(bh, n, kdim)
+        if not heads_major:
+            t = t.transpose(0, 2, 1, 3)
+        t = t.reshape(bh, n, kdim)
         return jnp.pad(t, ((0, 0), (0, n_pad - n), (0, k_pad - kdim)))
 
     qf, gf = prep(q, n_pad_q), prep(g, n_pad_q)
     kf, vf = prep(k, n_pad_kv), prep(v, n_pad_kv)
     # delta per query row; zero on padded rows since g is zero there.
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    delta = delta.transpose(0, 2, 1).reshape(bh, n)
+    if not heads_major:
+        delta = delta.transpose(0, 2, 1)
+    delta = delta.reshape(bh, n)
     delta = jnp.pad(delta, ((0, 0), (0, n_pad_q - n)))
     # 8-sublane replication (Mosaic tile constraints; see _flash_kernel_lse)
     delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, n_pad_q))
@@ -328,7 +351,9 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret):
     )(qf, kf, vf, gf, lse_p, delta)
 
     def unprep(t, dtype):
-        t = t[:, :n, :kdim].reshape(b, h, n, kdim).transpose(0, 2, 1, 3)
+        t = t[:, :n, :kdim].reshape(b, h, n, kdim)
+        if not heads_major:
+            t = t.transpose(0, 2, 1, 3)
         return t.astype(dtype)
 
     return (unprep(dq, q.dtype), unprep(dk, k.dtype), unprep(dv, v.dtype))
@@ -360,22 +385,28 @@ def _chunk_group(bh: int, n: int) -> int:
     return group
 
 
-def _flash_bwd_chunked(residuals, g):
+def _flash_bwd_chunked(residuals, g, layout: str = "bnhk"):
     """Attention backward, recomputed per (batch*head) chunk.
 
     Standard softmax-attention gradients with fp32 softmax statistics:
       p  = softmax(q k^T)          ds = p * (dp - rowsum(dp * p))
       dv = p^T g                   dq = ds k,  dk = ds^T q
     Memory is bounded by chunking the fused batch*head axis through
-    lax.map (_CHUNK_GROUP heads' N x N score blocks at a time).
+    lax.map (_chunk_group heads' N x N score blocks at a time).
     """
     q, k, v = residuals
-    b, n, h, kdim = q.shape
+    heads_major = layout == "bhnk"
+    if heads_major:
+        b, h, n, kdim = q.shape
+    else:
+        b, n, h, kdim = q.shape
     bh = b * h
     group = _chunk_group(bh, n)
 
     def to_bh(t):
-        t = t.transpose(0, 2, 1, 3).reshape(bh, n, kdim)
+        if not heads_major:
+            t = t.transpose(0, 2, 1, 3)
+        t = t.reshape(bh, n, kdim)
         return t.reshape(bh // group, group, n, kdim)
 
     qf, kf, vf, gf = (to_bh(t) for t in (q, k, v, g))
@@ -408,7 +439,8 @@ def _flash_bwd_chunked(residuals, g):
     dqf, dkf, dvf = jax.lax.map(heads, (qf, kf, vf, gf))
 
     def from_bh(t):
-        return t.reshape(b, h, n, kdim).transpose(0, 2, 1, 3)
+        t = t.reshape(b, h, n, kdim)
+        return t if heads_major else t.transpose(0, 2, 1, 3)
 
     return from_bh(dqf), from_bh(dkf), from_bh(dvf)
 
@@ -417,8 +449,12 @@ _flash_attention_vjp.defvjp(_flash_fwd, _flash_bwd)
 
 
 def _flash_forward(q, k, v, block_q, block_kv, interpret,
-                   with_lse: bool = False):
-    b, n, h, kdim = q.shape
+                   with_lse: bool = False, layout: str = "bnhk"):
+    heads_major = layout == "bhnk"
+    if heads_major:
+        b, h, n, kdim = q.shape
+    else:
+        b, n, h, kdim = q.shape
     # Query and KV paddings are independent: q/o pad to a multiple of
     # block_q, k/v to a multiple of block_kv. (A shared padding forced
     # n_pad // block_q to under-cover queries whenever block_kv > block_q.)
@@ -429,7 +465,9 @@ def _flash_forward(q, k, v, block_q, block_kv, interpret,
     k_pad_dim = max(64, _round_up(kdim, 64))
 
     def prep(t, n_pad):
-        t = t.transpose(0, 2, 1, 3).reshape(b * h, n, kdim)
+        if not heads_major:
+            t = t.transpose(0, 2, 1, 3)
+        t = t.reshape(b * h, n, kdim)
         return jnp.pad(t, ((0, 0), (0, n_pad - n), (0, k_pad_dim - kdim)))
 
     qp = prep(q, n_pad_q)
@@ -470,7 +508,9 @@ def _flash_forward(q, k, v, block_q, block_kv, interpret,
             cost_estimate=cost,
             interpret=interpret,
         )(qp, kp, vp)
-        out = out[:, :n, :kdim].reshape(b, h, n, kdim).transpose(0, 2, 1, 3)
+        out = out[:, :n, :kdim].reshape(b, h, n, kdim)
+        if not heads_major:
+            out = out.transpose(0, 2, 1, 3)
         return out, lse
 
     out = pl.pallas_call(
@@ -484,7 +524,9 @@ def _flash_forward(q, k, v, block_q, block_kv, interpret,
     )(qp, kp, vp)
 
     out = out[:, :n, :kdim].reshape(b, h, n, kdim)
-    return out.transpose(0, 2, 1, 3)
+    if not heads_major:
+        out = out.transpose(0, 2, 1, 3)
+    return out
 
 
 def reference_attention(q: jnp.ndarray, k: jnp.ndarray,

@@ -248,6 +248,91 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
     b, n, _ = x.shape
     h, k = config.num_heads, config.key_dim
     xc = x.astype(compute_dtype)
+    window = config.attention_window
+    # keras MHA applies dropout to the post-softmax probabilities whenever
+    # configured (vtd.py:364-369); never silently drop it on an alternate
+    # attention path.
+    dropping = (train and config.dropout not in (None, 0.0)
+                and dropout_rng is not None)
+
+    # Legacy (B, N, H, K) layout paths: the ring kernel's shard_map specs
+    # and the int8 serving layers expect tokens-major inputs.
+    legacy_layout = ((config.ring_attention and mesh is not None)
+                     or "kernel_q" in mha["query"]
+                     or (window is not None and not window_major))
+    if legacy_layout:
+        attn_out = _attention_tokens_major(
+            xc, mha, config, compute_dtype, b, n, h, k, window,
+            dropping, dropout_rng, train, mesh)
+    else:
+        # Heads-major fast path: projections emit (B, H, N, K) directly,
+        # so the flash kernel's (B*H, N, K) fold, the window fold and the
+        # score/output einsum contractions are all free reshapes — no
+        # per-layer layout transposes (traced as a real cost at every
+        # preset; see PERFORMANCE.md round 2b).
+        def proj(layer):
+            kernel = layer["kernel"].astype(compute_dtype)  # (D, H, K)
+            y = jnp.einsum("bnd,dhk->bhnk", xc, kernel,
+                           preferred_element_type=jnp.float32)
+            return y + layer["bias"].astype(jnp.float32)[None, :, None, :]
+
+        q = (proj(mha["query"]) / math.sqrt(k)).astype(compute_dtype)
+        key = proj(mha["key"]).astype(compute_dtype)
+        v = proj(mha["value"]).astype(compute_dtype)
+
+        if window is not None:
+            # Window-major tokens: fold windows into the head axis (a
+            # pure reshape) and run plain per-"head" attention over
+            # window-sized sequences.
+            tokens = window * window
+            num_windows = n // tokens
+            q = q.reshape(b, h * num_windows, tokens, k)
+            key = key.reshape(b, h * num_windows, tokens, k)
+            v = v.reshape(b, h * num_windows, tokens, k)
+
+        use_flash = config.use_flash_attention and not dropping
+        if use_flash:
+            # The Pallas kernel has no in-kernel RNG; under training
+            # dropout the einsum path below keeps the exact keras
+            # probability-dropout semantics.
+            from ..kernels.flash_attention import flash_attention
+            attn_out = flash_attention(q, key, v, layout="bhnk")
+        else:
+            # compute_dtype operands + fp32 accumulation: bf16 x bf16 ->
+            # fp32 rides the fast MXU path (fp32 operands force the
+            # multi-pass fp32 matmul, ~4x slower on v5e).
+            scores = jnp.einsum("bgnk,bgmk->bgnm", q, key,
+                                preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = _dropout(probs, config.dropout, dropout_rng, train)
+            attn_out = jnp.einsum(
+                "bgnm,bgmk->bgnk", probs.astype(compute_dtype), v,
+                preferred_element_type=jnp.float32).astype(compute_dtype)
+        if window is not None:
+            attn_out = attn_out.reshape(b, h, n, k)
+
+        out_kernel = mha["out"]["kernel"].astype(compute_dtype)  # (H, K, D)
+        out = jnp.einsum("bhnk,hkd->bnd", attn_out.astype(compute_dtype),
+                         out_kernel, preferred_element_type=jnp.float32)
+        out = out + mha["out"]["bias"].astype(jnp.float32)
+        return out.astype(compute_dtype)
+
+    if "kernel_q" in mha["out"]:  # int8 serving path
+        from ..kernels.quantization import int8_dense
+        flat = attn_out.reshape(b, n, h * k)
+        return int8_dense(flat, mha["out"]).astype(compute_dtype)
+    out_kernel = mha["out"]["kernel"].astype(compute_dtype)  # (H, K, D)
+    out = jnp.einsum("bnhk,hkd->bnd", attn_out.astype(compute_dtype),
+                     out_kernel, preferred_element_type=jnp.float32)
+    out = out + mha["out"]["bias"].astype(jnp.float32)
+    return out.astype(compute_dtype)
+
+
+def _attention_tokens_major(xc, mha, config, compute_dtype, b, n, h, k,
+                            window, dropping, dropout_rng, train, mesh):
+    """(B, N, H, K)-layout attention paths: ring attention (shard_map
+    specs shard the token axis at position 1), the int8 serving layers,
+    and direct _windowed_attention calls on row-major token order."""
 
     def proj(layer):
         if "kernel_q" in layer:  # int8 serving path
@@ -262,12 +347,6 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
     key = proj(mha["key"])
     v = proj(mha["value"])
 
-    window = config.attention_window
-    # keras MHA applies dropout to the post-softmax probabilities whenever
-    # configured (vtd.py:364-369); never silently drop it on an alternate
-    # attention path.
-    dropping = (train and config.dropout not in (None, 0.0)
-                and dropout_rng is not None)
     if config.ring_attention and mesh is not None:
         if dropping:
             raise NotImplementedError(
@@ -275,48 +354,28 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
                 "set dropout=None or disable ring_attention for training "
                 "with dropout")
         from ..kernels.ring_attention import ring_attention_in_jit
-        attn_out = ring_attention_in_jit(
+        return ring_attention_in_jit(
             q.astype(compute_dtype), key.astype(compute_dtype),
             v.astype(compute_dtype), mesh)
-    elif window is not None:
+    if window is not None:
         gh, gw = config.grid_size
-        attn_out = _windowed_attention(
+        return _windowed_attention(
             q, key, v, gh, gw, window, config, compute_dtype,
             dropout_rng=dropout_rng if dropping else None, train=train,
-            use_flash=config.use_flash_attention and not dropping,
-            window_major=window_major)
-    elif config.use_flash_attention and not dropping:
-        # The Pallas kernel has no in-kernel RNG; under training dropout the
-        # einsum path below keeps the exact keras probability-dropout
-        # semantics (flash stays the inference/no-dropout fast path).
+            use_flash=config.use_flash_attention and not dropping)
+    if config.use_flash_attention and not dropping:
         from ..kernels.flash_attention import flash_attention
-        attn_out = flash_attention(
+        return flash_attention(
             q.astype(compute_dtype), key.astype(compute_dtype),
             v.astype(compute_dtype))
-    else:
-        # Score matmul in compute_dtype with fp32 accumulation: on TPU a
-        # bf16 x bf16 -> fp32 dot runs on the fast MXU path, while feeding
-        # fp32 operands forces the multi-pass fp32 matmul (~4x slower on
-        # v5e, measured: the headline 640px inference attention time).
-        # With compute_dtype=float32 this is a no-op cast.
-        scores = jnp.einsum("bnhk,bmhk->bhnm", q.astype(compute_dtype),
-                            key.astype(compute_dtype),
-                            preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = _dropout(probs, config.dropout, dropout_rng, train)
-        attn_out = jnp.einsum(
-            "bhnm,bmhk->bnhk", probs.astype(compute_dtype),
-            v.astype(compute_dtype), preferred_element_type=jnp.float32)
-
-    if "kernel_q" in mha["out"]:  # int8 serving path
-        from ..kernels.quantization import int8_dense
-        flat = attn_out.reshape(b, n, h * k)
-        return int8_dense(flat, mha["out"]).astype(compute_dtype)
-    out_kernel = mha["out"]["kernel"].astype(compute_dtype)  # (H, K, D)
-    out = jnp.einsum("bnhk,hkd->bnd", attn_out.astype(compute_dtype),
-                     out_kernel, preferred_element_type=jnp.float32)
-    out = out + mha["out"]["bias"].astype(jnp.float32)
-    return out.astype(compute_dtype)
+    scores = jnp.einsum("bnhk,bmhk->bhnm", q.astype(compute_dtype),
+                        key.astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = _dropout(probs, config.dropout, dropout_rng, train)
+    return jnp.einsum(
+        "bhnm,bmhk->bnhk", probs.astype(compute_dtype),
+        v.astype(compute_dtype), preferred_element_type=jnp.float32)
 
 
 def _windowed_attention(q, key, v, gh, gw, window, config, compute_dtype,

@@ -231,3 +231,61 @@ def test_auto_block_policy():
     # windowed 256-token fold and tiny test shapes stay minimal
     assert _auto_blocks(256) == (256, 256)
     assert _auto_blocks(16) == (128, 128)
+
+
+def test_flash_layout_bhnk_matches_bnhk():
+    """layout='bhnk' (heads-major) must match the historical bnhk layout
+    exactly — forward and gradients — since it only changes data
+    plumbing, not math."""
+    import jax
+
+    from vision_transformer_detector_tpu.kernels.flash_attention import (
+        flash_attention)
+
+    rng = jax.random.PRNGKey(0)
+    b, n, h, k = 2, 80, 3, 16
+    q, key, v = (jax.random.normal(r, (b, n, h, k), jnp.float32) * 0.3
+                 for r in jax.random.split(rng, 3))
+    cot = jax.random.normal(jax.random.PRNGKey(9), (b, n, h, k),
+                            jnp.float32)
+
+    def loss_bnhk(q, key, v):
+        return (flash_attention(q, key, v) * cot).sum()
+
+    def loss_bhnk(q, key, v):
+        qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, key, v))
+        out = flash_attention(qt, kt, vt, layout="bhnk")
+        return (out.transpose(0, 2, 1, 3) * cot).sum()
+
+    (l0, g0) = jax.value_and_grad(loss_bnhk, argnums=(0, 1, 2))(q, key, v)
+    (l1, g1) = jax.value_and_grad(loss_bhnk, argnums=(0, 1, 2))(q, key, v)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, c in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_flash_layout_bhnk_pallas_backward():
+    import jax
+
+    from vision_transformer_detector_tpu.kernels.flash_attention import (
+        flash_attention)
+
+    rng = jax.random.PRNGKey(1)
+    b, h, n, k = 2, 3, 80, 16
+    q, key, v = (jax.random.normal(r, (b, h, n, k), jnp.float32) * 0.3
+                 for r in jax.random.split(rng, 3))
+
+    def loss(use_pallas):
+        def fn(q, key, v):
+            out = flash_attention(q, key, v, layout="bhnk",
+                                  use_pallas_backward=use_pallas)
+            return (out * out).sum()
+        return fn
+
+    l0, g0 = jax.value_and_grad(loss(False), argnums=(0, 1, 2))(q, key, v)
+    l1, g1 = jax.value_and_grad(loss(True), argnums=(0, 1, 2))(q, key, v)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, c in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)

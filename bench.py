@@ -38,8 +38,13 @@ def main() -> None:
     on_tpu = device.platform != "cpu"
 
     if on_tpu:
+        # Inference-only: heads-major attention layout wins at batch 128
+        # even for the narrow reference head_dim (543 vs 532 img/s) —
+        # training at this arch prefers tokens-major, hence the explicit
+        # override of the auto default (PERFORMANCE.md round 2b).
         config = DetectorConfig(image_size=(640, 640),
-                                compute_dtype="bfloat16")
+                                compute_dtype="bfloat16",
+                                attention_heads_major=True)
         batch_size = 128
     else:
         # CPU fallback: a small config so the single-core compile finishes

@@ -348,3 +348,24 @@ def test_alternate_remat_matches_no_remat():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_attention_layout_flag_equivalence():
+    """attention_heads_major True/False produce the same outputs on the
+    same params (the flag only changes data plumbing); the narrow-head
+    auto default picks tokens-major."""
+    cfg = DetectorConfig(image_size=(34, 34), embedding_dim=8, num_heads=2,
+                         key_dim=4, encoder_blocks=2, encoder_mlp_layers=2,
+                         head_last_units=8, head_layers=1)
+    assert cfg.key_dim % 64 != 0  # auto -> tokens-major
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 34, 34, 3),
+                                minval=-1, maxval=1)
+    out_auto = forward(params, images, cfg)
+    out_hm = forward(params, images,
+                     cfg.replace(attention_heads_major=True))
+    out_tm = forward(params, images,
+                     cfg.replace(attention_heads_major=False))
+    np.testing.assert_allclose(np.asarray(out_hm), np.asarray(out_tm),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_tm))

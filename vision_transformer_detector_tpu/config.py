@@ -72,6 +72,15 @@ class DetectorConfig:
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     param_dtype: str = "float32"
     use_flash_attention: bool = False  # Pallas flash-attention kernel
+    # Heads-major attention layout: projections emit (B, H, N, K) so the
+    # flash/window folds and score einsums are free reshapes. Measured
+    # faster for MXU-aligned head dims (B/16, L/16, highres: train +5-11%,
+    # 1024px -11%) but SLOWER for the reference arch's narrow key_dim 40
+    # TRAINING backward (98 vs 81 ms/step) while still winning its
+    # batch-128 inference (543 vs 532 img/s). None = auto: heads-major
+    # iff key_dim is a multiple of 64; inference-only callers with narrow
+    # heads can force True (bench.py does).
+    attention_heads_major: Optional[bool] = None
     use_fused_ffn: bool = False        # Pallas fused dense+mish kernel
     remat_encoder: bool = False        # jax.checkpoint each encoder block
     # Rematerialisation policy when remat_encoder is on:

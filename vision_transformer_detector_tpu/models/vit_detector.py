@@ -256,14 +256,20 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
                 and dropout_rng is not None)
 
     # Legacy (B, N, H, K) layout paths: the ring kernel's shard_map specs
-    # and the int8 serving layers expect tokens-major inputs.
+    # and the int8 serving layers expect tokens-major inputs; narrow
+    # (non-64-multiple) head dims measure FASTER tokens-major in training
+    # (config.attention_heads_major documents the measurements).
+    heads_major_ok = (config.attention_heads_major
+                      if config.attention_heads_major is not None
+                      else config.key_dim % 64 == 0)
     legacy_layout = ((config.ring_attention and mesh is not None)
                      or "kernel_q" in mha["query"]
-                     or (window is not None and not window_major))
+                     or (window is not None and not window_major)
+                     or not heads_major_ok)
     if legacy_layout:
         attn_out = _attention_tokens_major(
             xc, mha, config, compute_dtype, b, n, h, k, window,
-            dropping, dropout_rng, train, mesh)
+            dropping, dropout_rng, train, mesh, window_major)
     else:
         # Heads-major fast path: projections emit (B, H, N, K) directly,
         # so the flash kernel's (B*H, N, K) fold, the window fold and the
@@ -329,7 +335,8 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
 
 
 def _attention_tokens_major(xc, mha, config, compute_dtype, b, n, h, k,
-                            window, dropping, dropout_rng, train, mesh):
+                            window, dropping, dropout_rng, train, mesh,
+                            window_major=False):
     """(B, N, H, K)-layout attention paths: ring attention (shard_map
     specs shard the token axis at position 1), the int8 serving layers,
     and direct _windowed_attention calls on row-major token order."""
@@ -362,7 +369,8 @@ def _attention_tokens_major(xc, mha, config, compute_dtype, b, n, h, k,
         return _windowed_attention(
             q, key, v, gh, gw, window, config, compute_dtype,
             dropout_rng=dropout_rng if dropping else None, train=train,
-            use_flash=config.use_flash_attention and not dropping)
+            use_flash=config.use_flash_attention and not dropping,
+            window_major=window_major)
     if config.use_flash_attention and not dropping:
         from ..kernels.flash_attention import flash_attention
         return flash_attention(

@@ -68,3 +68,28 @@ def test_export_multi_scale_head_params_roundtrip(tmp_path):
     want = transform_predictions(forward(params, images, cfg), cfg)
     np.testing.assert_allclose(np.asarray(detector(images)),
                                np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_export_bundle_routes_by_request_size(tmp_path):
+    """A multi-batch bundle serves any request size up to the largest
+    exported graph: exact match, pad-up, and over-limit rejection."""
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    path = str(tmp_path / "bundle")
+    save_exported(path, params, TINY, batch_size=[1, 4])
+    detector = load_exported(path)
+    assert detector.batch_sizes == (1, 4)
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (3, 34, 34, 3),
+                                minval=-1, maxval=1)
+    want = transform_predictions(forward(params, images, TINY), TINY)
+    got = detector(images)          # request 3 -> padded to graph 4
+    assert got.shape == (3, TINY.max_objects, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    one = detector(images[:1])      # exact match to graph 1
+    np.testing.assert_allclose(np.asarray(one), np.asarray(want[:1]),
+                               rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError):
+        detector(jnp.zeros((5, 34, 34, 3)))

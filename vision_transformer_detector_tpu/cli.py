@@ -312,10 +312,11 @@ def cmd_export(args) -> None:
         params = state["params"]
     else:
         params = init_params(jax.random.PRNGKey(0), config)
+    batch = args.batch_sizes if args.batch_sizes else args.batch_size
     path = save_exported(args.output_dir, params, config,
-                         batch_size=args.batch_size,
+                         batch_size=batch,
                          platforms=args.platforms)
-    print(json.dumps({"exported": path, "batch_size": args.batch_size,
+    print(json.dumps({"exported": path, "batch_size": batch,
                       "platforms": args.platforms or ["native"]}))
 
 
@@ -417,6 +418,10 @@ def build_parser() -> argparse.ArgumentParser:
         "export", help="serialize a StableHLO inference artifact")
     _add_model_args(p)
     p.add_argument("--output-dir", default="exported_model")
+    p.add_argument("--batch-sizes", type=int, nargs="*", default=None,
+                   help="export a bundle with one graph per batch size; "
+                        "the loader routes requests to the smallest "
+                        "fitting graph (overrides --batch-size)")
     p.add_argument("--platforms", nargs="*", default=None,
                    help="lowering platforms (e.g. tpu cpu); default: "
                         "the current backend")

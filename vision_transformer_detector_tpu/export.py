@@ -29,7 +29,8 @@ import numpy as np
 
 from .config import DetectorConfig, configs_to_dict, configs_from_dict
 
-_MODEL_FILE = "model.stablehlo"
+_MODEL_FILE = "model.stablehlo"          # single-batch artifact
+_MODEL_FILE_TMPL = "model_b{batch}.stablehlo"  # multi-batch bundle
 _PARAMS_FILE = "params.npz"
 _CONFIG_FILE = "config.json"
 
@@ -58,15 +59,31 @@ def export_inference(params, config: DetectorConfig, batch_size: int,
 
 
 def save_exported(directory: str, params, config: DetectorConfig,
-                  batch_size: int,
+                  batch_size,
                   platforms: Optional[Sequence[str]] = None) -> str:
-    """Write the self-describing artifact directory; returns its path."""
+    """Write the self-describing artifact directory; returns its path.
+
+    ``batch_size`` may be an int (one pinned graph, ``model.stablehlo``)
+    or a sequence of ints (a bundle: one ``model_b{N}.stablehlo`` per
+    size; the loader routes each request to the smallest graph that
+    fits and pads, so serving covers arbitrary request sizes up to the
+    largest exported batch).
+    """
     from .utils.checkpoint import save_params_npz
 
     os.makedirs(directory, exist_ok=True)
-    blob = export_inference(params, config, batch_size, platforms)
-    with open(os.path.join(directory, _MODEL_FILE), "wb") as f:
-        f.write(blob)
+    if isinstance(batch_size, int):
+        sizes = [batch_size]
+        names = [_MODEL_FILE]
+    else:
+        sizes = sorted(set(int(b) for b in batch_size))
+        if not sizes:
+            raise ValueError("batch_size sequence is empty")
+        names = [_MODEL_FILE_TMPL.format(batch=b) for b in sizes]
+    for size, name in zip(sizes, names):
+        blob = export_inference(params, config, size, platforms)
+        with open(os.path.join(directory, name), "wb") as f:
+            f.write(blob)
     save_params_npz(os.path.join(directory, _PARAMS_FILE), params)
     with open(os.path.join(directory, _CONFIG_FILE), "w") as f:
         json.dump(configs_to_dict(config), f, indent=1)
@@ -75,13 +92,30 @@ def save_exported(directory: str, params, config: DetectorConfig,
 
 class ExportedDetector:
     """Loaded artifact: ``detector(images) -> (B, max_objects, 6)`` decoded
-    predictions, without importing the model-building code."""
+    predictions, without importing the model-building code.
+
+    A bundle directory (several ``model_b{N}.stablehlo``) routes each
+    call to the smallest exported batch that fits, zero-padding the
+    batch axis and slicing the result — arbitrary request sizes up to
+    the largest exported batch."""
 
     def __init__(self, directory: str):
         from jax import export as jax_export
 
-        with open(os.path.join(directory, _MODEL_FILE), "rb") as f:
-            self._exported = jax_export.deserialize(f.read())
+        single = os.path.join(directory, _MODEL_FILE)
+        self._exported = {}  # batch -> Exported
+        if os.path.exists(single):
+            with open(single, "rb") as f:
+                exp = jax_export.deserialize(f.read())
+            self._exported[exp.in_avals[-1].shape[0]] = exp
+        for entry in sorted(os.listdir(directory)):
+            if entry.startswith("model_b") and entry.endswith(".stablehlo"):
+                with open(os.path.join(directory, entry), "rb") as f:
+                    exp = jax_export.deserialize(f.read())
+                self._exported[exp.in_avals[-1].shape[0]] = exp
+        if not self._exported:
+            raise FileNotFoundError(
+                f"no model.stablehlo / model_b*.stablehlo under {directory}")
         data = np.load(os.path.join(directory, _PARAMS_FILE))
         # The exported call takes the params pytree flattened in the same
         # order jax.export recorded; rebuild the nested dict from the npz
@@ -91,12 +125,28 @@ class ExportedDetector:
             self.config, _, _ = configs_from_dict(json.load(f))
 
     @property
+    def batch_sizes(self) -> tuple:
+        return tuple(sorted(self._exported))
+
+    @property
     def batch_size(self) -> int:
-        return self._exported.in_avals[-1].shape[0]
+        """Largest exported batch (the single-graph batch for non-bundles)."""
+        return max(self._exported)
 
     def __call__(self, images) -> jnp.ndarray:
         images = jnp.asarray(images, jnp.float32)
-        return self._exported.call(self._params, images)
+        request = images.shape[0]
+        fits = [b for b in sorted(self._exported) if b >= request]
+        if not fits:
+            raise ValueError(
+                f"request batch {request} exceeds the largest exported "
+                f"batch {max(self._exported)}; re-export with a larger "
+                "batch size")
+        batch = fits[0]
+        if batch != request:
+            images = jnp.pad(images, ((0, batch - request),) + ((0, 0),) * 3)
+        out = self._exported[batch].call(self._params, images)
+        return out[:request]
 
 
 def load_exported(directory: str) -> ExportedDetector:

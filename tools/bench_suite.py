@@ -114,9 +114,15 @@ def main() -> None:
                "--batch-size", str(args.batch_size), "--single"]
         if args.train:
             cmd.append("--train")
-        result = subprocess.run(cmd, capture_output=True, text=True)
-        line = [l for l in result.stdout.splitlines()
-                if l.startswith("{")]
+        # The tunneled TPU occasionally throws transient backend errors
+        # (FAILED_PRECONDITION) mid-suite; retry each preset once before
+        # reporting it as failed.
+        for attempt in range(2):
+            result = subprocess.run(cmd, capture_output=True, text=True)
+            line = [l for l in result.stdout.splitlines()
+                    if l.startswith("{")]
+            if line:
+                break
         if not line:
             print(json.dumps({"preset": name.strip(), "error":
                               result.stderr.strip()[-300:]}), flush=True)

@@ -18,6 +18,7 @@
 
 #include <Python.h>
 
+#include <charconv>
 #include <cstdlib>
 #include <cstring>
 #include <string>
@@ -103,15 +104,17 @@ class Scanner {
 
   bool Number(double* out) {
     SkipWs();
-    char* next = nullptr;
-    // The underlying buffer is a PyBytes payload, which CPython
-    // null-terminates, so strtod cannot run past end_.
-    const double value = std::strtod(p_, &next);
-    if (next == p_) {
+    // std::from_chars is locale-independent (strtod honors LC_NUMERIC, so a
+    // host process that setlocale()s to a comma-decimal locale would stop
+    // parsing "12.5" at the dot — ADVICE round 2). It also never reads past
+    // end_, so the PyBytes null terminator is no longer load-bearing.
+    double value = 0.0;
+    const auto result = std::from_chars(p_, end_, value);
+    if (result.ec != std::errc() || result.ptr == p_) {
       Fail("expected number");
       return false;
     }
-    p_ = next;
+    p_ = result.ptr;
     *out = value;
     return true;
   }
@@ -194,6 +197,12 @@ bool ParseAnnotation(Scanner& s, Parsed& out) {
           }
         }
         if (!s.Consume(']')) return false;
+        // The pure-Python path raises on unpacking a malformed bbox; match
+        // it instead of silently zero-filling (ADVICE round 2).
+        if (i != 4) {
+          s.Fail("bbox array must contain exactly 4 numbers");
+          return false;
+        }
       } else {
         if (!s.SkipValue()) return false;
       }

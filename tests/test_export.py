@@ -93,3 +93,21 @@ def test_export_bundle_routes_by_request_size(tmp_path):
 
     with pytest.raises(ValueError):
         detector(jnp.zeros((5, 34, 34, 3)))
+
+
+def test_reexport_clears_stale_graphs(tmp_path):
+    """Re-exporting into a reused directory must remove old graphs — the
+    loader merges every model*.stablehlo it finds, so a stale one would
+    still receive requests (ADVICE round 2)."""
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    path = str(tmp_path / "reuse")
+    save_exported(path, params, TINY, batch_size=[1, 4])
+    assert load_exported(path).batch_sizes == (1, 4)
+
+    # bundle -> single: model_b1/model_b4 must be gone
+    save_exported(path, params, TINY, batch_size=2)
+    assert load_exported(path).batch_sizes == (2,)
+
+    # single -> bundle with different sizes: model.stablehlo must be gone
+    save_exported(path, params, TINY, batch_size=[8])
+    assert load_exported(path).batch_sizes == (8,)

@@ -110,6 +110,40 @@ def test_native_rejects_malformed():
 
 
 @needs_native
+def test_native_rejects_short_bbox():
+    # The pure-Python path raises on unpacking a <4-element bbox; the
+    # native parser must error too, not silently zero-fill (ADVICE r2).
+    from vision_transformer_detector_tpu._native import _native_coco_json
+
+    for bad in (b'[1.0, 2.0]', b'[]', b'[1, 2, 3, 4, 5]'):
+        doc = (b'{"annotations": [{"image_id": 1, "category_id": 2, '
+               b'"bbox": ' + bad + b'}]}')
+        with pytest.raises(ValueError):
+            _native_coco_json.parse_instances(doc)
+
+
+@needs_native
+def test_native_locale_independent_numbers(instances_path):
+    # strtod honors LC_NUMERIC; std::from_chars must not. Simulate a
+    # comma-decimal host locale and require identical parses.
+    import locale
+
+    baseline = ann.build_annotations_from_instances(
+        instances_path, use_native=True)
+    for loc in ("de_DE.UTF-8", "fr_FR.UTF-8", "C.UTF-8"):
+        try:
+            locale.setlocale(locale.LC_NUMERIC, loc)
+        except locale.Error:
+            continue
+        try:
+            again = ann.build_annotations_from_instances(
+                instances_path, use_native=True)
+        finally:
+            locale.setlocale(locale.LC_NUMERIC, "C")
+        assert again == baseline
+
+
+@needs_native
 def test_native_handles_minimal_and_empty():
     from vision_transformer_detector_tpu._native import _native_coco_json
 

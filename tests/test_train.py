@@ -292,3 +292,34 @@ def test_restore_latest_falls_back_to_ongoing(tmp_path):
     trainer.save(state, name="ongoing")
     restored = trainer.restore_latest(trainer.init_state(seed=9))
     assert int(restored["step"]) == 5
+
+
+def test_restore_latest_skips_partial_checkpoint(tmp_path):
+    """A crash mid-write leaves the newest step_* directory partial;
+    restore_latest must fall back to the next-newest intact checkpoint
+    instead of failing hard (ADVICE round 2)."""
+    import shutil
+
+    from vision_transformer_detector_tpu.utils import checkpoint as ckpt_lib
+
+    trainer = Trainer(TINY, LOSS, TC, checkpoint_dir=str(tmp_path))
+    state = trainer.init_state()
+    state["step"] = jnp.asarray(3, jnp.int32)
+    trainer.save_rolling(state)
+
+    # Simulate a torn write of a newer step: directory exists, contents
+    # truncated to nothing.
+    torn = tmp_path / ckpt_lib.step_checkpoint_name(9)
+    torn.mkdir()
+    (torn / "junk").write_text("not a checkpoint")
+
+    restored = trainer.restore_latest(trainer.init_state(seed=9))
+    assert int(restored["step"]) == 3
+
+    # With every step checkpoint torn, 'ongoing' is the last resort.
+    state["step"] = jnp.asarray(4, jnp.int32)
+    trainer.save(state, name="ongoing")
+    shutil.rmtree(tmp_path / ckpt_lib.step_checkpoint_name(3))
+    (tmp_path / ckpt_lib.step_checkpoint_name(3)).mkdir()
+    restored = trainer.restore_latest(trainer.init_state(seed=9))
+    assert int(restored["step"]) == 4

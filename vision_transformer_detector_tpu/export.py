@@ -72,6 +72,14 @@ def save_exported(directory: str, params, config: DetectorConfig,
     from .utils.checkpoint import save_params_npz
 
     os.makedirs(directory, exist_ok=True)
+    # Re-exporting into a reused directory must not leave stale graphs
+    # behind (the loader merges every model*.stablehlo it finds, so an old
+    # model_b64 from a previous export would still receive requests —
+    # ADVICE round 2). Clear them before writing the new set.
+    for entry in os.listdir(directory):
+        if entry == _MODEL_FILE or (entry.startswith("model_b")
+                                    and entry.endswith(".stablehlo")):
+            os.remove(os.path.join(directory, entry))
     if isinstance(batch_size, int):
         sizes = [batch_size]
         names = [_MODEL_FILE]

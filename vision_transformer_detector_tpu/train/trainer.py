@@ -367,12 +367,30 @@ class Trainer:
         return os.path.join(self.checkpoint_dir, name)
 
     def restore_latest(self, state: TrainState) -> TrainState:
-        """Resume from the newest step-stamped checkpoint (falls back to
-        "ongoing" when no rolling history exists)."""
-        latest = ckpt_lib.latest_checkpoint(self.checkpoint_dir)
-        if latest is None:
-            return self.restore(state, name="ongoing")
-        return self.restore(state, name=os.path.basename(latest))
+        """Resume from the newest *readable* step-stamped checkpoint.
+
+        A crash mid-write (async or not) can leave the newest ``step_*``
+        directory partial; instead of failing hard, walk backwards through
+        older step checkpoints and finally "ongoing" (ADVICE round 2).
+        """
+        candidates = [os.path.basename(path) for _, path in
+                      reversed(ckpt_lib.list_step_checkpoints(
+                          self.checkpoint_dir))]
+        candidates.append("ongoing")
+        last_error: Exception | None = None
+        for name in candidates:
+            if name != "ongoing" and not os.path.isdir(
+                    os.path.join(self.checkpoint_dir, name)):
+                continue
+            try:
+                restored = self.restore(state, name=name)
+            except Exception as exc:  # partial/corrupt write — try older
+                last_error = exc
+                print(f"restore_latest: checkpoint {name!r} unreadable "
+                      f"({exc}); trying an older one.")
+                continue
+            return restored
+        raise last_error  # every candidate (incl. "ongoing") failed
 
     def _check_weights(self, params, epoch: int) -> Dict[str, float]:
         """CheckModelWeight semantics (vtd.py:663-687): report when the

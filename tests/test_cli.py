@@ -63,6 +63,16 @@ def test_cli_train_eval_visualize_plot(dataset, tmp_path, capsys):
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= result["mAP"] <= 1.0
 
+    main(["evaluate", "--val-images", dataset["images"],
+          "--val-annotations", dataset["annotations"],
+          "--restore", "final", "--protocol", "coco",
+          *common(dataset, tmp_path)])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["protocol"] == "coco"
+    for key in ("AP", "AP50", "AP75", "AR@1", "AR@10", "AR@100"):
+        assert key in result
+        assert result[key] == -1.0 or 0.0 <= result[key] <= 1.0
+
     main(["visualize", "--images", dataset["images"],
           "--images-range", "0", "2", "--restore", "final",
           "--output-dir", str(tmp_path / "viz"),

@@ -1,0 +1,465 @@
+"""Official COCO-protocol evaluator oracles.
+
+Two lines of defense, since pycocotools cannot be installed here:
+  1. hand-derived AP/AR values for constructed scenes (each expectation
+     worked out from the protocol definition in the test comment), and
+  2. a literal transcription of the COCOeval algorithm (nested python
+     loops, no vectorization — written independently of the library's
+     implementation) cross-checked on randomized scenes.
+"""
+
+import numpy as np
+import pytest
+
+from vision_transformer_detector_tpu.metrics.coco_eval import (
+    AREA_RANGES, CocoEvaluator, IOU_THRESHOLDS, RECALL_THRESHOLDS,
+    detections_from_decoded, ground_truth_from_labels, iou_xywh,
+    update_from_fixed_slots)
+
+
+def single_image(gt_boxes, det_boxes, det_scores, gt_cats=None,
+                 det_cats=None, **kwargs):
+    ev = CocoEvaluator()
+    gt_boxes = np.asarray(gt_boxes, float).reshape(-1, 4)
+    det_boxes = np.asarray(det_boxes, float).reshape(-1, 4)
+    ev.add_image(
+        gt_boxes=gt_boxes,
+        gt_categories=gt_cats if gt_cats is not None
+        else np.zeros(len(gt_boxes), int),
+        det_boxes=det_boxes,
+        det_scores=det_scores,
+        det_categories=det_cats if det_cats is not None
+        else np.zeros(len(det_boxes), int),
+        **kwargs)
+    return ev.evaluate()
+
+
+# ----------------------------------------------------------------------
+# IoU semantics
+
+
+def test_iou_basic_and_crowd():
+    dt = [[0, 0, 10, 10]]
+    gt = [[0, 5, 10, 10], [0, 0, 10, 10]]
+    got = iou_xywh(dt, gt)
+    np.testing.assert_allclose(got, [[50 / 150, 1.0]])
+    # Crowd: intersection over the DETECTION area only.
+    got = iou_xywh(dt, gt, gt_iscrowd=[True, False])
+    np.testing.assert_allclose(got, [[50 / 100, 1.0]])
+
+
+def test_iou_zero_area_guard():
+    got = iou_xywh([[0, 0, 0, 0]], [[0, 0, 0, 0]])
+    assert got[0, 0] == 0.0
+
+
+# ----------------------------------------------------------------------
+# Hand-derived protocol oracles
+
+
+def test_perfect_match_is_ap1():
+    res = single_image([[10, 10, 50, 40]], [[10, 10, 50, 40]], [0.9])
+    s = res.summarize()
+    assert s["AP"] == 1.0
+    assert s["AP50"] == 1.0
+    assert s["AP75"] == 1.0
+    assert s["AR@1"] == 1.0
+
+
+def test_iou_point6_passes_three_thresholds():
+    # gt (0,0,10,10), det (0,0,10,6): inter 60, union 100 -> IoU 0.6,
+    # which matches at t in {.50,.55,.60} -> per-threshold AP 1, others 0
+    # -> mAP = 3/10.
+    res = single_image([[0, 0, 10, 10]], [[0, 0, 10, 6]], [0.9])
+    s = res.summarize()
+    assert s["AP"] == pytest.approx(0.3)
+    assert s["AP50"] == 1.0
+    assert s["AP75"] == 0.0
+
+
+def test_low_iou_is_zero():
+    # IoU 1/3 < 0.5 -> unmatched at every threshold -> AP 0 (and the
+    # detection is a false positive, not ignored: its area is in range).
+    res = single_image([[0, 0, 10, 10]], [[0, 5, 10, 10]], [0.9])
+    assert res.summarize()["AP"] == 0.0
+
+
+def test_false_positive_after_all_tps_is_free():
+    # TP at score .9, FP at score .1: recall reaches 1.0 while precision
+    # is still 1.0, and the 101-point interpolation reads the envelope at
+    # recalls <= 1.0 -> AP 1.0 (the trailing FP costs nothing, the
+    # protocol's known property).
+    res = single_image([[0, 0, 10, 10]],
+                       [[0, 0, 10, 10], [50, 50, 10, 10]], [0.9, 0.1])
+    assert res.summarize()["AP"] == 1.0
+
+
+def test_false_positive_before_tp_halves_ap():
+    # FP outranks the TP: cumulative precision at recall 1.0 is 1/2 and
+    # at recall 0 the envelope is also 1/2 -> every interpolation point
+    # reads 0.5 -> AP 0.5.
+    res = single_image([[0, 0, 10, 10]],
+                       [[0, 0, 10, 10], [50, 50, 10, 10]], [0.1, 0.9])
+    assert res.summarize()["AP"] == pytest.approx(0.5)
+
+
+def test_missed_gt_truncates_recall():
+    # 2 gts, 1 perfect det: recall 0.5 at precision 1. Interpolated
+    # precision is 1 for the 51 recall thresholds <= 0.5 and 0 above ->
+    # AP = 51/101.
+    res = single_image([[0, 0, 10, 10], [50, 50, 10, 10]],
+                       [[0, 0, 10, 10]], [0.9])
+    assert res.summarize()["AP"] == pytest.approx(51 / 101)
+
+
+def test_max_dets_caps_recall():
+    # Two perfect dets on two gts: AR@1 can only use the top-scoring det
+    # -> 0.5; AR@10/@100 recover both -> 1.0. AP at maxDets=100 is 1.0.
+    res = single_image([[0, 0, 10, 10], [50, 50, 10, 10]],
+                       [[0, 0, 10, 10], [50, 50, 10, 10]], [0.9, 0.8])
+    s = res.summarize()
+    assert s["AR@1"] == 0.5
+    assert s["AR@10"] == 1.0
+    assert s["AR@100"] == 1.0
+    assert s["AP"] == 1.0
+
+
+def test_area_ranges_bucket_and_ignore():
+    # A 10x10 gt (area 100) is "small"; a matched det of the same size.
+    # In the medium/large buckets the gt is ignored AND the matching det
+    # (same area, out of range when unmatched... here it matches the
+    # ignored gt so it is ignored too) -> those buckets stay undefined
+    # (-1, no positives).
+    res = single_image([[0, 0, 10, 10]], [[0, 0, 10, 10]], [0.9])
+    s = res.summarize()
+    assert s["AP_small"] == 1.0
+    assert s["AP_medium"] == -1.0
+    assert s["AP_large"] == -1.0
+    assert s["AR_small"] == 1.0
+
+
+def test_small_fp_does_not_pollute_large_bucket():
+    # Large gt (100x100) perfectly matched; an extra unmatched small det
+    # (8x8). In the "large" bucket the small det's own area is out of
+    # range -> ignored, AP_large stays 1.0. In "all" it is a trailing FP
+    # (score-ranked below the TP) -> AP still 1.0.
+    res = single_image([[0, 0, 100, 100]],
+                       [[0, 0, 100, 100], [300, 300, 8, 8]], [0.9, 0.5])
+    s = res.summarize()
+    assert s["AP_large"] == 1.0
+    assert s["AP_small"] == -1.0   # no small gt anywhere
+    assert s["AP"] == 1.0
+
+
+def test_crowd_absorbs_detections_without_penalty():
+    # One real gt + one crowd region. Det A matches the real gt; det B
+    # lies fully inside the crowd (IoF = 1 > every threshold) -> B is
+    # ignored, not a false positive -> AP 1.0.
+    res = single_image(
+        [[0, 0, 10, 10], [100, 100, 50, 50]],
+        [[0, 0, 10, 10], [110, 110, 10, 10]], [0.9, 0.8],
+        gt_iscrowd=[False, True])
+    assert res.summarize()["AP"] == 1.0
+
+
+def test_crowd_matches_multiple_detections():
+    # Crowd ground truth is never consumed: BOTH dets inside it are
+    # ignored (with no real gt, every bucket has zero positives -> -1).
+    res = single_image(
+        [[100, 100, 50, 50]],
+        [[110, 110, 10, 10], [120, 120, 10, 10]], [0.9, 0.8],
+        gt_iscrowd=[True])
+    assert res.summarize()["AP"] == -1.0
+
+
+def test_prefers_higher_iou_gt_and_consumes_it():
+    # Det A (score .9) overlaps gt1 at IoU 1.0 and gt2 at ~0.53; it takes
+    # gt1. Det B (score .8) identical boxes -> gt1 is consumed, B matches
+    # gt2 only at IoU .53 -> passes t=.50 only... at t=.50: A->gt1,
+    # B->gt2 (both TP, recall 1, precision 1). At t>=.55: B unmatched
+    # (FP after TP, free), gt2 unmatched -> recall 0.5 -> AP 51/101.
+    # mAP = (1 + 9*(51/101)) / 10.
+    gt = [[0, 0, 10, 10], [0, 3, 10, 10]]
+    dets = [[0, 0, 10, 10], [0, 0, 10, 10]]
+    res = single_image(gt, dets, [0.9, 0.8])
+    want = (1.0 + 9 * (51 / 101)) / 10
+    assert res.summarize()["AP"] == pytest.approx(want)
+    # sanity: the cross-class IoU really is in [.50, .55)
+    assert 0.5 <= iou_xywh(dets[:1], gt[1:])[0, 0] < 0.55
+
+
+def test_categories_are_independent_and_averaged():
+    # Class 0: perfect (AP 1). Class 1: det misses (AP 0). Class 2 has a
+    # det but NO gt -> excluded from the mean (not counted as 0).
+    ev = CocoEvaluator()
+    ev.add_image(
+        gt_boxes=[[0, 0, 10, 10], [50, 50, 10, 10]],
+        gt_categories=[0, 1],
+        det_boxes=[[0, 0, 10, 10], [80, 80, 10, 10], [0, 0, 5, 5]],
+        det_scores=[0.9, 0.9, 0.9],
+        det_categories=[0, 1, 2])
+    assert ev.evaluate().summarize()["AP"] == pytest.approx(0.5)
+
+
+def test_streaming_over_images_matches_concatenation():
+    # The same scene split across two images scores identically to the
+    # protocol run on the union (per-image evaluation, global ranking).
+    a_gt, a_det = [[0, 0, 10, 10]], [[0, 0, 10, 6]]
+    b_gt, b_det = [[20, 20, 8, 8]], [[20, 20, 8, 8]]
+    ev = CocoEvaluator()
+    ev.add_image(gt_boxes=a_gt, gt_categories=[0], det_boxes=a_det,
+                 det_scores=[0.9], det_categories=[0])
+    ev.add_image(gt_boxes=b_gt, gt_categories=[0], det_boxes=b_det,
+                 det_scores=[0.8], det_categories=[0])
+    s = ev.evaluate().summarize()
+    # t <= .60: both match -> AP 1. t > .60: only image b's det matches,
+    # and it is ranked BELOW image a's false positive (0.8 < 0.9):
+    # pr=[0, 1/2], rc=[0, 1/2] -> envelope .5 for recall <= .5 ->
+    # AP = 51 * 0.5 / 101.
+    want = (3 * 1.0 + 7 * (51 * 0.5 / 101)) / 10
+    assert s["AP"] == pytest.approx(want)
+
+
+def test_reset_state():
+    ev = CocoEvaluator()
+    ev.add_image(gt_boxes=[[0, 0, 10, 10]], gt_categories=[0],
+                 det_boxes=[[0, 0, 10, 10]], det_scores=[0.9],
+                 det_categories=[0])
+    assert ev.evaluate().summarize()["AP"] == 1.0
+    ev.reset_state()
+    ev.add_image(gt_boxes=[[0, 0, 10, 10]], gt_categories=[0],
+                 det_boxes=[[50, 50, 10, 10]], det_scores=[0.9],
+                 det_categories=[0])
+    assert ev.evaluate().summarize()["AP"] == 0.0
+
+
+# ----------------------------------------------------------------------
+# Literal-transcription twin (independent implementation), randomized
+# cross-check.
+
+
+def _twin_evaluate_image(gts, dets, iou_thrs, area_rng, max_det):
+    """COCOeval.evaluateImg transcribed as literal loops over dicts."""
+    for g in gts:
+        g["_ignore"] = 1 if (g["iscrowd"] or g["area"] < area_rng[0]
+                             or g["area"] > area_rng[1]) else 0
+    gtind = sorted(range(len(gts)), key=lambda i: gts[i]["_ignore"])
+    gts = [gts[i] for i in gtind]
+    dtind = sorted(range(len(dets)), key=lambda i: -dets[i]["score"])
+    dets = [dets[i] for i in dtind][:max_det]
+    ious = iou_xywh([d["bbox"] for d in dets], [g["bbox"] for g in gts],
+                    [g["iscrowd"] for g in gts]) if gts and dets else (
+        np.zeros((len(dets), len(gts))))
+    T, G, D = len(iou_thrs), len(gts), len(dets)
+    gtm = np.zeros((T, G)); dtm = np.zeros((T, D))
+    gt_ig = np.array([g["_ignore"] for g in gts])
+    dt_ig = np.zeros((T, D))
+    for tind, t in enumerate(iou_thrs):
+        for dind in range(D):
+            iou = min([t, 1 - 1e-10]); m = -1
+            for gind in range(G):
+                if gtm[tind, gind] > 0 and not gts[gind]["iscrowd"]:
+                    continue
+                if m > -1 and gt_ig[m] == 0 and gt_ig[gind] == 1:
+                    break
+                if ious[dind, gind] < iou:
+                    continue
+                iou = ious[dind, gind]; m = gind
+            if m == -1:
+                continue
+            dt_ig[tind, dind] = gt_ig[m]
+            dtm[tind, dind] = 1
+            gtm[tind, m] = 1 + dind
+    a = np.array([d["area"] < area_rng[0] or d["area"] > area_rng[1]
+                  for d in dets]).reshape(1, -1)
+    dt_ig = np.logical_or(dt_ig, np.logical_and(
+        dtm == 0, np.repeat(a, T, 0)))
+    return {"dtMatches": dtm, "dtIgnore": dt_ig,
+            "dtScores": [d["score"] for d in dets],
+            "gtIgnore": gt_ig}
+
+
+def _twin_full(images, categories, iou_thrs, rec_thrs, area_rngs,
+               max_dets):
+    """COCOeval.accumulate transcribed (precision tensor only)."""
+    T, R = len(iou_thrs), len(rec_thrs)
+    K, A, M = len(categories), len(area_rngs), len(max_dets)
+    precision = -np.ones((T, R, K, A, M))
+    recall = -np.ones((T, K, A, M))
+    for k, cat in enumerate(categories):
+        for a, rng in enumerate(area_rngs):
+            per_img = []
+            for img in images:
+                gts = [dict(g) for g in img["gts"] if g["cat"] == cat]
+                dets = [dict(d) for d in img["dets"] if d["cat"] == cat]
+                if not gts and not dets:
+                    continue
+                per_img.append(_twin_evaluate_image(
+                    gts, dets, iou_thrs, rng, max(max_dets)))
+            for m, max_det in enumerate(max_dets):
+                if not per_img:
+                    continue
+                scores = np.concatenate(
+                    [e["dtScores"][:max_det] for e in per_img])
+                inds = np.argsort(-scores, kind="mergesort")
+                dtm = np.concatenate(
+                    [e["dtMatches"][:, :max_det] for e in per_img],
+                    axis=1)[:, inds]
+                dt_ig = np.concatenate(
+                    [e["dtIgnore"][:, :max_det] for e in per_img],
+                    axis=1)[:, inds]
+                gt_ig = np.concatenate([e["gtIgnore"] for e in per_img])
+                npig = np.count_nonzero(gt_ig == 0)
+                if npig == 0:
+                    continue
+                tps = np.logical_and(dtm, np.logical_not(dt_ig))
+                fps = np.logical_and(
+                    np.logical_not(dtm), np.logical_not(dt_ig))
+                tp_sum = np.cumsum(tps, axis=1).astype(float)
+                fp_sum = np.cumsum(fps, axis=1).astype(float)
+                for t in range(T):
+                    tp, fp = tp_sum[t], fp_sum[t]
+                    nd = len(tp)
+                    rc = tp / npig
+                    pr = tp / (fp + tp + np.spacing(1))
+                    q = np.zeros(R)
+                    recall[t, k, a, m] = rc[-1] if nd else 0
+                    pr = pr.tolist()
+                    for i in range(nd - 1, 0, -1):
+                        if pr[i] > pr[i - 1]:
+                            pr[i - 1] = pr[i]
+                    inds2 = np.searchsorted(rc, rec_thrs, side="left")
+                    try:
+                        for ri, pi in enumerate(inds2):
+                            q[ri] = pr[pi]
+                    except IndexError:
+                        pass
+                    precision[t, :, k, a, m] = np.array(q)
+    return precision, recall
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_randomized_cross_check_vs_literal_transcription(seed):
+    rng = np.random.default_rng(seed)
+    n_images, n_cats = 5, 3
+    images = []
+    ev = CocoEvaluator()
+    for _ in range(n_images):
+        n_gt = int(rng.integers(0, 8))
+        n_dt = int(rng.integers(0, 12))
+        gts = []
+        for _ in range(n_gt):
+            wh = rng.uniform(2, 120, 2)
+            xy = rng.uniform(0, 400, 2)
+            gts.append({"bbox": [*xy, *wh], "area": wh[0] * wh[1],
+                        "iscrowd": bool(rng.random() < 0.15),
+                        "cat": int(rng.integers(0, n_cats))})
+        dets = []
+        for _ in range(n_dt):
+            if gts and rng.random() < 0.7:   # perturb a gt box
+                base = gts[int(rng.integers(0, n_gt))]
+                bbox = np.array(base["bbox"]) + rng.normal(0, 6, 4)
+                bbox[2:] = np.clip(bbox[2:], 1, None)
+                cat = base["cat"] if rng.random() < 0.8 else int(
+                    rng.integers(0, n_cats))
+            else:
+                wh = rng.uniform(2, 120, 2)
+                bbox = np.array([*rng.uniform(0, 400, 2), *wh])
+                cat = int(rng.integers(0, n_cats))
+            dets.append({"bbox": bbox.tolist(),
+                         "area": bbox[2] * bbox[3],
+                         "score": float(rng.random()), "cat": cat})
+        images.append({"gts": gts, "dets": dets})
+        ev.add_image(
+            gt_boxes=[g["bbox"] for g in gts] or np.zeros((0, 4)),
+            gt_categories=[g["cat"] for g in gts],
+            gt_iscrowd=[g["iscrowd"] for g in gts],
+            gt_areas=[g["area"] for g in gts],
+            det_boxes=[d["bbox"] for d in dets] or np.zeros((0, 4)),
+            det_scores=[d["score"] for d in dets],
+            det_categories=[d["cat"] for d in dets])
+
+    got = ev.evaluate()
+    want_p, want_r = _twin_full(
+        images, sorted({c for img in images
+                        for c in ([g["cat"] for g in img["gts"]]
+                                  + [d["cat"] for d in img["dets"]])}),
+        IOU_THRESHOLDS, RECALL_THRESHOLDS,
+        list(AREA_RANGES.values()), list(CocoEvaluator().max_dets))
+    np.testing.assert_allclose(got.precision, want_p, atol=1e-12)
+    np.testing.assert_allclose(got.recall, want_r, atol=1e-12)
+
+
+# ----------------------------------------------------------------------
+# Fixed-slot adapters
+
+
+def test_ground_truth_from_labels_respects_empty_slots():
+    labels = np.full((17, 6), -8.0, np.float32)
+    labels[:, 0] = 0.0
+    labels[0] = (1, 5, 100, 60, 20, 40)   # cx=100 cy=60 h=20 w=40
+    labels[1] = (1, 2, 10, 10, 4, 4)
+    boxes, cats = ground_truth_from_labels(labels)
+    assert boxes.shape == (2, 4)
+    np.testing.assert_allclose(boxes[0], [80, 50, 40, 20])
+    assert list(cats) == [5, 2]
+
+
+def test_detections_from_decoded_thresholds():
+    decoded = np.zeros((3, 6))
+    decoded[0] = (0.9, 5.0, 100, 60, 20, 40)   # confident, exact class
+    decoded[1] = (0.9, 5.4, 100, 60, 20, 40)   # class conf (0.5-0.4)/.5=.2
+    decoded[2] = (0.3, 5.0, 100, 60, 20, 40)   # low objectness
+    boxes, scores, cats = detections_from_decoded(decoded)
+    assert len(scores) == 3                    # default: keep everything
+    boxes, scores, cats = detections_from_decoded(
+        decoded, objectness_threshold=0.5, class_confidence_threshold=0.5)
+    assert len(scores) == 1
+    np.testing.assert_allclose(boxes[0], [80, 50, 40, 20])
+    assert cats[0] == 5 and scores[0] == 0.9
+
+
+def test_update_from_fixed_slots_perfect_predictions():
+    labels = np.full((2, 17, 6), -8.0, np.float32)
+    labels[..., 0] = 0.0
+    labels[0, 0] = (1, 5, 100, 60, 20, 40)
+    labels[0, 1] = (1, 9, 300, 300, 50, 50)
+    labels[1, 0] = (1, 5, 50, 50, 30, 30)
+    decoded = labels.copy()    # detections identical to ground truth
+    decoded[..., 0] = np.where(np.isclose(labels[..., 0], 1.0), 0.95, 0.0)
+    decoded[..., 1:] = np.where(labels[..., 1:] == -8.0, 0.0,
+                                labels[..., 1:])
+    ev = CocoEvaluator()
+    update_from_fixed_slots(ev, labels, decoded,
+                            objectness_threshold=0.5,
+                            class_confidence_threshold=0.5)
+    s = ev.evaluate().summarize()
+    assert s["AP"] == 1.0
+    assert s["AR@100"] == 1.0
+
+
+def test_update_from_fixed_slots_shape_guard():
+    ev = CocoEvaluator()
+    with pytest.raises(ValueError):
+        update_from_fixed_slots(ev, np.zeros((2, 17, 6)),
+                                np.zeros((3, 17, 6)))
+
+
+def test_real_annotation_golden_perfect_detector_scores_ap1():
+    """The committed real COCO val labels (608px letterboxed) fed as both
+    ground truth and perfect detections must score AP 1.0 under the
+    official protocol."""
+    data = np.load("tests/golden/real_val_labels_608.npz")
+    ev = CocoEvaluator()
+    for key in data.files:
+        labels = data[key][None]
+        decoded = labels.copy()
+        decoded[..., 0] = np.where(
+            np.isclose(labels[..., 0], 1.0), 0.9, 0.0)
+        decoded[..., 1:] = np.where(labels[..., 1:] == -8.0, 0.0,
+                                    labels[..., 1:])
+        update_from_fixed_slots(ev, labels, decoded,
+                                objectness_threshold=0.5)
+    s = ev.evaluate().summarize()
+    assert s["AP"] == 1.0
+    assert s["AP50"] == 1.0

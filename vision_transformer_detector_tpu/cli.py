@@ -130,8 +130,16 @@ def cmd_evaluate(args) -> None:
         state = trainer.restore(state, args.restore)
     data = _build_dataset(args, config, args.val_images,
                           args.val_annotations)
-    ap = evaluate_map(state["params"], data, config)
-    print(json.dumps({"mAP": ap}))
+    if getattr(args, "protocol", "custom") == "coco":
+        from .metrics.coco_eval import evaluate_coco_protocol
+
+        summary = evaluate_coco_protocol(
+            state["params"], data, config,
+            objectness_threshold=args.objectness_threshold)
+        print(json.dumps({"protocol": "coco", **summary}))
+    else:
+        ap = evaluate_map(state["params"], data, config)
+        print(json.dumps({"mAP": ap}))
 
 
 def cmd_predict(args) -> None:
@@ -360,6 +368,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("evaluate", help="compute mAP on a dataset")
     common(p, needs_val="required")
+    p.add_argument("--protocol", choices=("custom", "coco"),
+                   default="custom",
+                   help="'custom' = the reference's streaming metric "
+                        "(vtd.py:1268, bit-compatible); 'coco' = the "
+                        "official COCO protocol (101-pt interpolation, "
+                        "area ranges, maxDets; metrics/coco_eval.py)")
+    p.add_argument("--objectness-threshold", type=float, default=0.0,
+                   help="coco protocol only: drop detections at or below "
+                        "this objectness (default keeps all, the "
+                        "COCOeval convention)")
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser("predict", help="decoded detections as json")

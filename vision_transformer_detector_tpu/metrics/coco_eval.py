@@ -1,0 +1,438 @@
+"""Official COCO-protocol detection evaluation, dependency-free NumPy.
+
+The framework already reproduces the reference's *custom* streaming metric
+bit-for-bit (metrics/mean_average_precision.py, mirroring
+vision_transformer_detector.py:1268-2060, all 13 unit oracles). That metric
+is a ring-buffer approximation, NOT the official COCO protocol — so
+"COCO val mAP" claims (BASELINE.md north star) could not be *stated* by
+anything in this repo. This module closes that gap: a COCOeval-equivalent
+evaluator (101-point interpolated AP over IoU .50:.95, area ranges,
+maxDets caps, crowd-ignore semantics) written from the protocol definition
+in pure NumPy, because pycocotools is not installable in this image.
+
+Protocol semantics implemented (matching pycocotools COCOeval for bbox):
+  * IoU on (x, y, w, h) top-left boxes; crowd ground truth uses
+    intersection-over-detection-area ("IoF") and may match many detections.
+  * Per image x category: detections sorted by score (stable descending),
+    capped at the largest maxDets; greedy matching per IoU threshold in
+    score order, each detection taking the best remaining ground truth
+    (ignored ground truths only if no real one matches; crowd ground
+    truths are never consumed).
+  * Ground truths outside the area range (or crowd) are "ignored": matches
+    to them do not count as true positives, and unmatched detections whose
+    own area is outside the range are ignored rather than false positives.
+  * Accumulation over the whole dataset per (iou_threshold, category,
+    area_range, max_dets): precision envelope (monotone from the right),
+    101-point recall interpolation with searchsorted(side="left"), AP =
+    mean over recall thresholds; AR = final recall. Categories with zero
+    non-ignored ground truths are excluded from the means (never counted
+    as zero).
+
+The evaluator is host-side and offline (like COCOeval itself) — the
+on-device jitted metric (metrics/fast_map.py) remains the in-training-loop
+metric; this one is the protocol-of-record for reporting.
+
+Adapters at the bottom convert the framework's fixed-slot tensors —
+labels ``(B, 17, 6)`` with the -8 empty-slot convention
+(vision_transformer_utilities.py:497-505) and decoded predictions
+``(B, 17, 6)`` from ops/decode.py — into protocol boxes. Note on areas:
+when evaluating from letterboxed label tensors, box areas are measured in
+the letterboxed frame; official COCO uses segmentation areas in the
+original frame. Pass explicit ``gt_areas`` (e.g. from the annotation
+dict's area column) to reproduce official small/medium/large buckets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# The standard COCO summary configuration.
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
+RECALL_THRESHOLDS = np.linspace(0.0, 1.0, 101)
+MAX_DETS = (1, 10, 100)
+AREA_RANGES: Dict[str, Tuple[float, float]] = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def iou_xywh(det_boxes: np.ndarray, gt_boxes: np.ndarray,
+             gt_iscrowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """Pairwise IoU between (M,4) detections and (N,4) ground truths,
+    boxes as (x_topleft, y_topleft, w, h).
+
+    Crowd ground truths use intersection / detection-area (the COCO
+    maskUtils.iou convention), so one crowd region can absorb any number
+    of detections without its own area diluting the overlap.
+    """
+    det_boxes = np.asarray(det_boxes, np.float64).reshape(-1, 4)
+    gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
+    dx0, dy0 = det_boxes[:, 0:1], det_boxes[:, 1:2]
+    dx1, dy1 = dx0 + det_boxes[:, 2:3], dy0 + det_boxes[:, 3:4]
+    gx0, gy0 = gt_boxes[:, 0], gt_boxes[:, 1]
+    gx1, gy1 = gx0 + gt_boxes[:, 2], gy0 + gt_boxes[:, 3]
+
+    iw = np.clip(np.minimum(dx1, gx1[None, :]) -
+                 np.maximum(dx0, gx0[None, :]), 0.0, None)
+    ih = np.clip(np.minimum(dy1, gy1[None, :]) -
+                 np.maximum(dy0, gy0[None, :]), 0.0, None)
+    inter = iw * ih
+    det_area = (det_boxes[:, 2] * det_boxes[:, 3])[:, None]
+    gt_area = (gt_boxes[:, 2] * gt_boxes[:, 3])[None, :]
+    union = det_area + gt_area - inter
+    if gt_iscrowd is not None and np.any(gt_iscrowd):
+        crowd = np.asarray(gt_iscrowd, bool)[None, :]
+        union = np.where(crowd, det_area, union)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ious = np.where(union > 0, inter / union, 0.0)
+    return ious
+
+
+@dataclass
+class _ImageEval:
+    """Per-(image, category, area-range) matching result at the largest
+    maxDets cap; accumulate() re-slices it per cap."""
+    dt_scores: np.ndarray   # (M,) sorted descending
+    dt_matched: np.ndarray  # (T, M) bool
+    dt_ignored: np.ndarray  # (T, M) bool
+    n_positive: int         # non-ignored ground truths
+
+
+def _match_image(ious: np.ndarray, gt_ignore: np.ndarray,
+                 gt_iscrowd: np.ndarray, dt_scores: np.ndarray,
+                 dt_areas: np.ndarray, area_range: Tuple[float, float],
+                 iou_thresholds: np.ndarray) -> _ImageEval:
+    """Greedy COCO matching for one image x category x area range.
+
+    ``ious`` rows are detections already sorted by descending score and
+    capped at the largest maxDets; columns are ground truths sorted
+    non-ignored-first (the caller pre-sorts both).
+    """
+    num_t = len(iou_thresholds)
+    num_dt, num_gt = ious.shape
+    gt_matched = np.zeros((num_t, num_gt), dtype=bool)
+    dt_matched = np.zeros((num_t, num_dt), dtype=bool)
+    dt_ignored = np.zeros((num_t, num_dt), dtype=bool)
+    for ti, threshold in enumerate(iou_thresholds):
+        for di in range(num_dt):
+            best = min(threshold, 1.0 - 1e-10)
+            match = -1
+            for gi in range(num_gt):
+                if gt_matched[ti, gi] and not gt_iscrowd[gi]:
+                    continue
+                # Ground truths are sorted non-ignored-first: once we hold
+                # a real match, ignored candidates cannot improve it.
+                if match > -1 and not gt_ignore[match] and gt_ignore[gi]:
+                    break
+                if ious[di, gi] < best:
+                    continue
+                best = ious[di, gi]
+                match = gi
+            if match == -1:
+                continue
+            dt_matched[ti, di] = True
+            dt_ignored[ti, di] = gt_ignore[match]
+            gt_matched[ti, match] = True
+    # Unmatched detections whose own area falls outside the range are
+    # ignored (they would be matched under a different range).
+    out_of_range = (dt_areas < area_range[0]) | (dt_areas > area_range[1])
+    dt_ignored |= (~dt_matched) & out_of_range[None, :]
+    return _ImageEval(dt_scores=dt_scores, dt_matched=dt_matched,
+                      dt_ignored=dt_ignored,
+                      n_positive=int(np.count_nonzero(~gt_ignore)))
+
+
+@dataclass
+class CocoEvalResults:
+    """precision: (T, R, K, A, M); recall: (T, K, A, M); -1 = undefined
+    (no ground truth for that category/area)."""
+    precision: np.ndarray
+    recall: np.ndarray
+    categories: Tuple[int, ...]
+    iou_thresholds: np.ndarray = field(
+        default_factory=lambda: IOU_THRESHOLDS.copy())
+    area_range_names: Tuple[str, ...] = tuple(AREA_RANGES)
+    max_dets: Tuple[int, ...] = MAX_DETS
+
+    def _area_index(self, area: str) -> int:
+        return self.area_range_names.index(area)
+
+    def _maxdet_index(self, max_dets: int) -> int:
+        return self.max_dets.index(max_dets)
+
+    def ap(self, iou: Optional[float] = None, area: str = "all",
+           max_dets: int = 100) -> float:
+        """Mean average precision; ``iou=None`` averages .50:.95."""
+        p = self.precision[:, :, :, self._area_index(area),
+                           self._maxdet_index(max_dets)]
+        if iou is not None:
+            ti = int(np.argmin(np.abs(self.iou_thresholds - iou)))
+            p = p[ti:ti + 1]
+        valid = p[p > -1]
+        return float(valid.mean()) if valid.size else -1.0
+
+    def ar(self, area: str = "all", max_dets: int = 100) -> float:
+        """Mean average recall over IoU thresholds and categories."""
+        r = self.recall[:, :, self._area_index(area),
+                        self._maxdet_index(max_dets)]
+        valid = r[r > -1]
+        return float(valid.mean()) if valid.size else -1.0
+
+    def summarize(self) -> Dict[str, float]:
+        """The 12 standard COCO summary metrics."""
+        big = max(self.max_dets)
+        out = {
+            "AP": self.ap(max_dets=big),
+            "AP50": self.ap(iou=0.5, max_dets=big),
+            "AP75": self.ap(iou=0.75, max_dets=big),
+            "AP_small": self.ap(area="small", max_dets=big),
+            "AP_medium": self.ap(area="medium", max_dets=big),
+            "AP_large": self.ap(area="large", max_dets=big),
+            "AR_small": self.ar(area="small", max_dets=big),
+            "AR_medium": self.ar(area="medium", max_dets=big),
+            "AR_large": self.ar(area="large", max_dets=big),
+        }
+        for m in self.max_dets:
+            out[f"AR@{m}"] = self.ar(max_dets=m)
+        return out
+
+
+class CocoEvaluator:
+    """Streaming-friendly official-protocol evaluator.
+
+    Feed per-image ground truth + detections with :meth:`add_image` (any
+    category ids, not restricted to 0..79), then :meth:`evaluate`.
+    """
+
+    def __init__(self,
+                 iou_thresholds: Sequence[float] = tuple(IOU_THRESHOLDS),
+                 recall_thresholds: Sequence[float] = tuple(
+                     RECALL_THRESHOLDS),
+                 max_dets: Sequence[int] = MAX_DETS,
+                 area_ranges: Optional[Dict[str, Tuple[float, float]]]
+                 = None):
+        self.iou_thresholds = np.asarray(iou_thresholds, np.float64)
+        self.recall_thresholds = np.asarray(recall_thresholds, np.float64)
+        self.max_dets = tuple(sorted(int(m) for m in max_dets))
+        self.area_ranges = dict(area_ranges or AREA_RANGES)
+        self._images: List[dict] = []
+
+    def reset_state(self) -> None:
+        self._images.clear()
+
+    def add_image(self, *,
+                  gt_boxes, gt_categories,
+                  det_boxes, det_scores, det_categories,
+                  gt_iscrowd=None, gt_areas=None) -> None:
+        """Record one image. Boxes are (x_topleft, y_topleft, w, h) float
+        arrays; categories integer arrays; ``gt_areas`` defaults to box
+        w*h (pass annotation areas for official small/medium/large)."""
+        gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
+        det_boxes = np.asarray(det_boxes, np.float64).reshape(-1, 4)
+        gt_categories = np.asarray(gt_categories, np.int64).reshape(-1)
+        det_categories = np.asarray(det_categories, np.int64).reshape(-1)
+        det_scores = np.asarray(det_scores, np.float64).reshape(-1)
+        if gt_iscrowd is None:
+            gt_iscrowd = np.zeros(len(gt_boxes), bool)
+        else:
+            gt_iscrowd = np.asarray(gt_iscrowd, bool).reshape(-1)
+        if gt_areas is None:
+            gt_areas = gt_boxes[:, 2] * gt_boxes[:, 3]
+        else:
+            gt_areas = np.asarray(gt_areas, np.float64).reshape(-1)
+        if not (len(gt_boxes) == len(gt_categories) == len(gt_iscrowd)
+                == len(gt_areas)):
+            raise ValueError("ground-truth arrays disagree on length")
+        if not (len(det_boxes) == len(det_categories) == len(det_scores)):
+            raise ValueError("detection arrays disagree on length")
+        self._images.append({
+            "gt_boxes": gt_boxes, "gt_categories": gt_categories,
+            "gt_iscrowd": gt_iscrowd, "gt_areas": gt_areas,
+            "det_boxes": det_boxes, "det_scores": det_scores,
+            "det_categories": det_categories,
+        })
+
+    # ------------------------------------------------------------------
+    def evaluate(self) -> CocoEvalResults:
+        categories = sorted(set(
+            int(c) for img in self._images
+            for c in np.concatenate([img["gt_categories"],
+                                     img["det_categories"]])))
+        num_t = len(self.iou_thresholds)
+        num_r = len(self.recall_thresholds)
+        num_k = len(categories)
+        num_a = len(self.area_ranges)
+        num_m = len(self.max_dets)
+        precision = -np.ones((num_t, num_r, num_k, num_a, num_m))
+        recall = -np.ones((num_t, num_k, num_a, num_m))
+        cap = max(self.max_dets) if self.max_dets else 0
+
+        for ki, category in enumerate(categories):
+            per_image = [self._evaluate_image(img, category, cap)
+                         for img in self._images]
+            for ai, area_range in enumerate(self.area_ranges.values()):
+                evals = [e[ai] for e in per_image if e is not None]
+                self._accumulate(evals, precision, recall, ki, ai)
+        return CocoEvalResults(
+            precision=precision, recall=recall,
+            categories=tuple(categories),
+            iou_thresholds=self.iou_thresholds.copy(),
+            area_range_names=tuple(self.area_ranges),
+            max_dets=self.max_dets)
+
+    def _evaluate_image(self, img: dict, category: int, cap: int):
+        gt_sel = img["gt_categories"] == category
+        det_sel = img["det_categories"] == category
+        if not gt_sel.any() and not det_sel.any():
+            return None
+        gt_iscrowd = img["gt_iscrowd"][gt_sel]
+        gt_areas = img["gt_areas"][gt_sel]
+        gt_boxes = img["gt_boxes"][gt_sel]
+        # Stable score-descending order, capped at the largest maxDets;
+        # accumulate() slices smaller caps from this prefix.
+        order = np.argsort(-img["det_scores"][det_sel], kind="stable")[:cap]
+        det_boxes = img["det_boxes"][det_sel][order]
+        det_scores = img["det_scores"][det_sel][order]
+        det_areas = det_boxes[:, 2] * det_boxes[:, 3]
+
+        results = []
+        base_ignore = gt_iscrowd.copy()
+        for area_range in self.area_ranges.values():
+            gt_ignore = base_ignore | (gt_areas < area_range[0]) | (
+                gt_areas > area_range[1])
+            # Non-ignored ground truths first (stable), as the matcher
+            # requires.
+            gt_order = np.argsort(gt_ignore, kind="stable")
+            ious = iou_xywh(det_boxes, gt_boxes[gt_order],
+                            gt_iscrowd[gt_order])
+            results.append(_match_image(
+                ious, gt_ignore[gt_order], gt_iscrowd[gt_order],
+                det_scores, det_areas, area_range, self.iou_thresholds))
+        return results
+
+    def _accumulate(self, evals: List[_ImageEval], precision: np.ndarray,
+                    recall: np.ndarray, ki: int, ai: int) -> None:
+        num_t = len(self.iou_thresholds)
+        for mi, cap in enumerate(self.max_dets):
+            scores = np.concatenate(
+                [e.dt_scores[:cap] for e in evals]) if evals else (
+                    np.zeros(0))
+            n_positive = sum(e.n_positive for e in evals)
+            if n_positive == 0:
+                continue
+            order = np.argsort(-scores, kind="stable")
+            matched = np.concatenate(
+                [e.dt_matched[:, :cap] for e in evals],
+                axis=1)[:, order] if evals else np.zeros((num_t, 0), bool)
+            ignored = np.concatenate(
+                [e.dt_ignored[:, :cap] for e in evals],
+                axis=1)[:, order] if evals else np.zeros((num_t, 0), bool)
+            tp = np.cumsum(matched & ~ignored, axis=1, dtype=np.float64)
+            fp = np.cumsum(~matched & ~ignored, axis=1, dtype=np.float64)
+            for ti in range(num_t):
+                rc = tp[ti] / n_positive
+                pr = tp[ti] / np.maximum(tp[ti] + fp[ti],
+                                         np.spacing(1.0))
+                recall[ti, ki, ai, mi] = rc[-1] if rc.size else 0.0
+                # Precision envelope: best precision at >= this recall.
+                pr = np.maximum.accumulate(pr[::-1])[::-1]
+                q = np.zeros(len(self.recall_thresholds))
+                inds = np.searchsorted(rc, self.recall_thresholds,
+                                       side="left")
+                valid = inds < len(pr)
+                q[valid] = pr[inds[valid]]
+                precision[ti, :, ki, ai, mi] = q
+
+
+# ----------------------------------------------------------------------
+# Adapters: fixed-slot framework tensors -> protocol boxes.
+
+def ground_truth_from_labels(labels: np.ndarray):
+    """One label tensor (17, 6) -> (boxes_xywh, categories).
+
+    Layout per vision_transformer_utilities.py:497-505: columns are
+    (objectness, class, center_x, center_y, height, width) with empty
+    slots marked objectness=0 / -8 elsewhere.
+    """
+    labels = np.asarray(labels, np.float64)
+    mask = np.isclose(labels[:, 0], 1.0)
+    rows = labels[mask]
+    categories = np.round(rows[:, 1]).astype(np.int64)
+    boxes = np.stack([rows[:, 2] - rows[:, 5] / 2.0,
+                      rows[:, 3] - rows[:, 4] / 2.0,
+                      rows[:, 5], rows[:, 4]], axis=-1)
+    return boxes, categories
+
+
+def detections_from_decoded(decoded: np.ndarray,
+                            objectness_threshold: float = 0.0,
+                            class_confidence_threshold: float = 0.0):
+    """One decoded prediction tensor (17, 6) from
+    ops.decode.transform_predictions -> (boxes_xywh, scores, categories).
+
+    Default thresholds keep every slot — the protocol's score ranking
+    already handles low-confidence detections, and COCO AP rewards
+    returning them (pycocotools convention is NO score threshold). Pass
+    the reference thresholds (0.5/0.5, vtd.py:1378-1384) to score only
+    what the reference would draw.
+    """
+    decoded = np.asarray(decoded, np.float64)
+    objectness = decoded[:, 0]
+    classification = decoded[:, 1]
+    class_conf = (0.5 - np.abs(classification -
+                               np.round(classification))) / 0.5
+    keep = (objectness > objectness_threshold) & (
+        class_conf > class_confidence_threshold)
+    rows = decoded[keep]
+    boxes = np.stack([rows[:, 2] - rows[:, 5] / 2.0,
+                      rows[:, 3] - rows[:, 4] / 2.0,
+                      rows[:, 5], rows[:, 4]], axis=-1)
+    return boxes, rows[:, 0], np.round(rows[:, 1]).astype(np.int64)
+
+
+def update_from_fixed_slots(evaluator: CocoEvaluator, labels: np.ndarray,
+                            decoded: np.ndarray,
+                            objectness_threshold: float = 0.0,
+                            class_confidence_threshold: float = 0.0
+                            ) -> None:
+    """Feed a batch of (B, 17, 6) labels + decoded predictions."""
+    labels = np.asarray(labels)
+    decoded = np.asarray(decoded)
+    if labels.shape != decoded.shape or labels.ndim != 3:
+        raise ValueError(
+            f"expected matching (B, slots, 6) tensors, got {labels.shape} "
+            f"vs {decoded.shape}")
+    for i in range(labels.shape[0]):
+        gt_boxes, gt_categories = ground_truth_from_labels(labels[i])
+        det_boxes, det_scores, det_categories = detections_from_decoded(
+            decoded[i], objectness_threshold, class_confidence_threshold)
+        evaluator.add_image(
+            gt_boxes=gt_boxes, gt_categories=gt_categories,
+            det_boxes=det_boxes, det_scores=det_scores,
+            det_categories=det_categories)
+
+
+def evaluate_coco_protocol(params, dataset, config, eval_step=None,
+                           objectness_threshold: float = 0.0,
+                           class_confidence_threshold: float = 0.0
+                           ) -> Dict[str, float]:
+    """Official-protocol twin of train.trainer.evaluate_map: run the model
+    over ``dataset`` and return the 12 standard COCO summary metrics."""
+    import jax.numpy as jnp
+
+    from ..train.trainer import make_eval_step
+
+    if eval_step is None:
+        eval_step = make_eval_step(config)
+    evaluator = CocoEvaluator()
+    for images, labels in dataset:
+        decoded = eval_step(params, jnp.asarray(images))
+        update_from_fixed_slots(
+            evaluator, np.asarray(labels), np.asarray(decoded),
+            objectness_threshold, class_confidence_threshold)
+    return evaluator.evaluate().summarize()

@@ -291,7 +291,11 @@ def cmd_serve(args) -> None:
     service = DetectionService(config, params,
                                iou_threshold=args.nms_iou_threshold,
                                score_threshold=args.score_threshold)
-    server = DetectionServer(service, host=args.host, port=args.port)
+    server = DetectionServer(service, host=args.host, port=args.port,
+                             batching=not args.no_batching,
+                             max_batch=args.max_batch,
+                             max_wait_ms=args.batch_window_ms,
+                             request_timeout=args.request_timeout)
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "endpoints": ["/healthz", "POST /predict"]}),
           flush=True)
@@ -430,6 +434,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true",
                    help="serve int8-quantized weights (2x MXU peak; "
                         "AP-retention-tested, kernels/quantization.py)")
+    p.add_argument("--no-batching", action="store_true",
+                   help="dispatch each request directly instead of "
+                        "through the micro-batcher")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="micro-batcher cap (device call batch size)")
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="max extra latency spent collecting a batch "
+                        "(closes early when --max-batch is reached)")
+    p.add_argument("--request-timeout", type=float, default=30.0,
+                   help="seconds before a queued request gets HTTP 503")
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser(

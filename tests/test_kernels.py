@@ -289,3 +289,110 @@ def test_flash_layout_bhnk_pallas_backward():
     for a, c in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# In-kernel dropout (counter-based mask; VERDICT r2 next-step #5)
+
+
+def _masked_oracle(q, k, v, rate, seed):
+    """Dropout-after-softmax oracle using the SAME positional mask the
+    kernel generates (dropout_keep_mask is a pure function, so this is an
+    exact — not statistical — equivalence check)."""
+    from vision_transformer_detector_tpu.kernels.flash_attention import (
+        _keep_threshold, dropout_keep_mask)
+
+    b, n, h, kd = q.shape
+    threshold = _keep_threshold(rate)
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    bh = jnp.arange(b * h, dtype=jnp.uint32).reshape(b, h)
+    keep = dropout_keep_mask(
+        jnp.uint32(seed), bh[:, :, None, None],
+        pos[None, None, :, None], pos[None, None, None, :], threshold)
+    scores = jnp.einsum("bnhk,bmhk->bhnm", q.astype(jnp.float32),
+                        k.astype(jnp.float32))
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    return jnp.einsum("bhnm,bmhk->bnhk", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def test_flash_dropout_matches_masked_oracle_exactly():
+    q, k, v = _qkv(2, 200, 2, 40, seed=7)
+    rate, seed = 0.3, 1234
+    out = flash_attention(q, k, v, dropout_rate=rate,
+                          dropout_seed=jnp.uint32(seed))
+    want = _masked_oracle(q, k, v, rate, seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_flash_dropout_gradients_match_masked_oracle():
+    """The chunked backward replays the forward's mask: grads must match
+    autodiff through the explicit-mask oracle."""
+    q, k, v = _qkv(1, 160, 2, 40, seed=8)
+    g = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+    rate, seed = 0.25, 77
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(
+            q, k, v, dropout_rate=rate,
+            dropout_seed=jnp.uint32(seed)) * g)
+
+    def loss_oracle(q, k, v):
+        return jnp.sum(_masked_oracle(q, k, v, rate, seed) * g)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
+
+
+def test_dropout_mask_statistics():
+    """Counter-hash mask: keep-rate within 1% of 1-rate, and masks from
+    different seeds / batch-heads decorrelated."""
+    from vision_transformer_detector_tpu.kernels.flash_attention import (
+        _keep_threshold, dropout_keep_mask)
+
+    n = 512
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    for rate in (0.1, 0.5):
+        threshold = _keep_threshold(rate)
+        m0 = np.asarray(dropout_keep_mask(
+            jnp.uint32(1), jnp.uint32(0), pos[:, None], pos[None, :],
+            threshold))
+        assert abs(m0.mean() - (1 - rate)) < 0.01
+        m1 = np.asarray(dropout_keep_mask(
+            jnp.uint32(2), jnp.uint32(0), pos[:, None], pos[None, :],
+            threshold))
+        m2 = np.asarray(dropout_keep_mask(
+            jnp.uint32(1), jnp.uint32(1), pos[:, None], pos[None, :],
+            threshold))
+        for other in (m1, m2):
+            agree = (m0 == other).mean()
+            expected = (1 - rate) ** 2 + rate ** 2
+            assert abs(agree - expected) < 0.01
+
+
+def test_flash_dropout_mean_approximates_no_dropout():
+    """Inverted-scaling dropout is unbiased: averaging over many seeds
+    approaches the deterministic output."""
+    q, k, v = _qkv(1, 64, 1, 16, seed=10)
+    rate = 0.5
+    base = np.asarray(reference_attention(q, k, v))
+    acc = np.zeros_like(base)
+    seeds = 64
+    for s in range(seeds):
+        acc += np.asarray(flash_attention(
+            q, k, v, dropout_rate=rate, dropout_seed=jnp.uint32(s)))
+    mean = acc / seeds
+    err = np.abs(mean - base).mean() / (np.abs(base).mean() + 1e-9)
+    assert err < 0.2, err
+
+
+def test_flash_dropout_zero_rate_is_identity():
+    q, k, v = _qkv(1, 128, 2, 64, seed=11)
+    out = flash_attention(q, k, v, dropout_rate=None)
+    want = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want))

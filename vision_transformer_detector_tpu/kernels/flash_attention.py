@@ -33,8 +33,36 @@ _CONTRACT_LAST = (((1,), (1,)), ((), ()))    # (a, K) x (b, K)  -> (a, b)
 _CONTRACT_FIRST = (((0,), (0,)), ((), ()))   # (m, a) x (m, b)  -> (a, b)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
-                  block_kv: int, seq_len: int):
+def _keep_threshold(rate: float) -> int:
+    """Static uint32 threshold: hash < threshold <=> keep."""
+    return min(2 ** 32 - 1, int(round((1.0 - rate) * 4294967296.0)))
+
+
+def dropout_keep_mask(seed, bh_idx, q_idx, k_idx, threshold: int):
+    """Counter-based dropout mask: keep iff hash(seed, bh, qi, kj) < t.
+
+    A murmur3-finalizer hash over the GLOBAL (batch*head, query, key)
+    coordinates, so the mask is a pure function of position — the Pallas
+    forward generates it per score block and the chunked jnp backward
+    regenerates the IDENTICAL mask during recomputation (an in-kernel
+    stateful PRNG could not be replayed outside the kernel). All
+    arithmetic is uint32 with logical shifts, available in both Mosaic
+    and XLA.
+    """
+    x = (jnp.asarray(seed).astype(jnp.uint32)
+         + bh_idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+         + q_idx.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+         + k_idx.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    return x < jnp.uint32(threshold)
+
+
+def _flash_kernel(*refs, block_kv: int, seq_len: int,
+                  dropout: tuple | None = None):
     """One (batch*head, q-block) program: stream KV blocks, keep running
     softmax statistics in fp32.
 
@@ -42,11 +70,30 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
     inputs this is bit-identical to casting bf16->fp32 first (bf16 is a
     subset of fp32) but uses the fast bf16 MXU path instead of the
     multi-pass fp32 matmul (measured ~2x kernel speedup on v5e).
+
+    ``dropout=(threshold, inv_keep)`` enables keras-MHA probability
+    dropout (vtd.py:364-369 semantics) fused in-kernel: the softmax
+    normaliser accumulates the UNdropped probabilities (dropout applies
+    to the normalised distribution: out = sum(mask*p~*v)/keep / sum(p~)),
+    and the counter-based mask (dropout_keep_mask) keys off the global
+    (batch*head, query, key) position so the chunked backward replays it
+    exactly. A seed scalar arrives as an extra leading SMEM ref.
     """
+    if dropout is not None:
+        seed_ref, q_ref, k_ref, v_ref, o_ref = refs
+        threshold, inv_keep = dropout
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
     q = q_ref[0]                                # (block_q, K), input dtype
     block_q = q.shape[0]
     kv_total = k_ref.shape[1]
     num_kv = kv_total // block_kv
+    if dropout is not None:
+        # program_id must be read OUTSIDE the fori_loop body: the
+        # interpret-mode grid emulator does not rewrite it inside nested
+        # jaxprs.
+        bh_idx = jnp.uint32(pl.program_id(0))
+        q_base = pl.program_id(1) * block_q
 
     def body(i, carry):
         m_prev, l_prev, acc_prev = carry
@@ -67,6 +114,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new[:, None])
         l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        if dropout is not None:
+            q_pos = (q_base
+                     + jax.lax.broadcasted_iota(
+                         jnp.int32, (block_q, block_kv), 0))
+            keep = dropout_keep_mask(
+                seed_ref[0], bh_idx, q_pos, kv_pos, threshold)
+            # Multiply (not jnp.where): a where with a weak-typed scalar
+            # branch trips an MLIR cache bug in interpret-mode lowering
+            # on the virtual multi-device CPU platform.
+            p = p * (keep.astype(jnp.float32) * inv_keep)
         acc_new = acc_prev * alpha[:, None] + jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
@@ -223,7 +280,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int | None = None, block_kv: int | None = None,
                     interpret: bool | None = None,
                     use_pallas_backward: bool | None = None,
-                    layout: str = "bnhk") -> jnp.ndarray:
+                    layout: str = "bnhk",
+                    dropout_rate: float | None = None,
+                    dropout_seed=None) -> jnp.ndarray:
     """Blockwise attention; in/out layout per ``layout``.
 
     ``layout="bnhk"``: (B, N, H, K) tensors (the historical contract —
@@ -242,6 +301,13 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     (batch, head) group with fp32 statistics (chunked) or runs the fused
     Pallas backward (see _flash_bwd), so training composes with
     jax.grad/checkpoint.
+
+    ``dropout_rate``/``dropout_seed`` enable in-kernel probability
+    dropout (training path; keras-MHA semantics). The mask is a pure
+    function of (seed, batch*head, query, key) position
+    (dropout_keep_mask), so the chunked backward — forced when dropout
+    is on; the Pallas backward has no dropout schedule — replays it
+    exactly during recomputation.
     """
     if layout not in ("bnhk", "bhnk"):
         raise ValueError(f"unknown layout {layout!r}")
@@ -254,35 +320,52 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret = jax.default_backend() == "cpu"
     if use_pallas_backward is None:
         use_pallas_backward = USE_PALLAS_BACKWARD
-    return _flash_attention_vjp(q, k, v, block_q, block_kv, interpret,
-                                bool(use_pallas_backward), layout)
+    if dropout_rate in (None, 0.0):
+        seed = jnp.zeros((1,), jnp.uint32)
+        rate = None
+    else:
+        if dropout_seed is None:
+            raise ValueError("dropout_rate needs a dropout_seed")
+        seed = jnp.asarray(dropout_seed).astype(jnp.uint32).reshape((1,))
+        rate = float(dropout_rate)
+        use_pallas_backward = False
+    return _flash_attention_vjp(q, k, v, seed, block_q, block_kv,
+                                interpret, bool(use_pallas_backward),
+                                layout, rate)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_attention_vjp(q, k, v, block_q, block_kv, interpret,
-                         use_pallas_backward, layout):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_attention_vjp(q, k, v, seed, block_q, block_kv, interpret,
+                         use_pallas_backward, layout, rate):
     return _flash_forward(q, k, v, block_q, block_kv, interpret,
-                          layout=layout)
+                          layout=layout, rate=rate, seed=seed)
 
 
-def _flash_fwd(q, k, v, block_q, block_kv, interpret, use_pallas_backward,
-               layout):
+def _flash_fwd(q, k, v, seed, block_q, block_kv, interpret,
+               use_pallas_backward, layout, rate):
     if use_pallas_backward:
         out, lse = _flash_forward(q, k, v, block_q, block_kv, interpret,
                                   with_lse=True, layout=layout)
-        return out, (q, k, v, out, lse)
+        return out, (q, k, v, seed, out, lse)
     out = _flash_forward(q, k, v, block_q, block_kv, interpret,
-                         layout=layout)
-    return out, (q, k, v, None, None)
+                         layout=layout, rate=rate, seed=seed)
+    return out, (q, k, v, seed, None, None)
 
 
 def _flash_bwd(block_q, block_kv, interpret, use_pallas_backward, layout,
-               residuals, g):
-    q, k, v, out, lse = residuals
+               rate, residuals, g):
+    import numpy as np
+
+    q, k, v, seed, out, lse = residuals
+    seed_ct = np.zeros(seed.shape, jax.dtypes.float0)
     if use_pallas_backward:
-        return _flash_bwd_pallas(q, k, v, out, lse, g,
-                                 block_q, block_kv, interpret, layout)
-    return _flash_bwd_chunked((q, k, v), g, layout)
+        dq, dk, dv = _flash_bwd_pallas(q, k, v, out, lse, g,
+                                       block_q, block_kv, interpret,
+                                       layout)
+        return dq, dk, dv, seed_ct
+    dq, dk, dv = _flash_bwd_chunked((q, k, v), g, layout, rate=rate,
+                                    seed=seed)
+    return dq, dk, dv, seed_ct
 
 
 def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret,
@@ -376,8 +459,8 @@ _CHUNK_BUDGET_BYTES = 96 * 1024 * 1024
 _CHUNK_MAX_ITERATIONS = 128
 
 
-def _chunk_group(bh: int, n: int) -> int:
-    budget = max(1, _CHUNK_BUDGET_BYTES // (3 * 4 * n * n))
+def _chunk_group(bh: int, n: int, score_buffers: int = 3) -> int:
+    budget = max(1, _CHUNK_BUDGET_BYTES // (score_buffers * 4 * n * n))
     target = -(-bh // _CHUNK_MAX_ITERATIONS)
     group = max(1, min(target, budget, bh))
     while bh % group:
@@ -385,7 +468,8 @@ def _chunk_group(bh: int, n: int) -> int:
     return group
 
 
-def _flash_bwd_chunked(residuals, g, layout: str = "bnhk"):
+def _flash_bwd_chunked(residuals, g, layout: str = "bnhk",
+                       rate: float | None = None, seed=None):
     """Attention backward, recomputed per (batch*head) chunk.
 
     Standard softmax-attention gradients with fp32 softmax statistics:
@@ -393,6 +477,15 @@ def _flash_bwd_chunked(residuals, g, layout: str = "bnhk"):
       dv = p^T g                   dq = ds k,  dk = ds^T q
     Memory is bounded by chunking the fused batch*head axis through
     lax.map (_chunk_group heads' N x N score blocks at a time).
+
+    With in-kernel dropout (``rate``/``seed``), the forward's mask is
+    replayed from the global coordinates (dropout_keep_mask is a pure
+    function of position) and the gradient chain becomes, with
+    Pd = mask * p / keep:
+      dv = Pd^T g
+      dpm = mask/keep * (g v^T)
+      ds = p * (dpm - rowsum(p * dpm))
+    which is exactly autodiff through dropout-after-softmax.
     """
     q, k, v = residuals
     heads_major = layout == "bhnk"
@@ -401,7 +494,10 @@ def _flash_bwd_chunked(residuals, g, layout: str = "bnhk"):
     else:
         b, n, h, kdim = q.shape
     bh = b * h
-    group = _chunk_group(bh, n)
+    # The dropout replay adds a keep-mask + scale array per score block
+    # (~2 more N x N buffers live at once) — shrink the group to keep the
+    # same HBM budget.
+    group = _chunk_group(bh, n, score_buffers=5 if rate is not None else 3)
 
     def to_bh(t):
         if not heads_major:
@@ -410,22 +506,36 @@ def _flash_bwd_chunked(residuals, g, layout: str = "bnhk"):
         return t.reshape(bh // group, group, n, kdim)
 
     qf, kf, vf, gf = (to_bh(t) for t in (q, k, v, g))
+    bh_idx = jnp.arange(bh, dtype=jnp.uint32).reshape(bh // group, group)
 
     batch_last = (((2,), (2,)), ((0,), (0,)))   # (g,n,K)x(g,m,K)->(g,n,m)
     batch_mid = (((1,), (1,)), ((0,), (0,)))    # (g,n,m)x(g,n,K)->(g,m,K)
     batch_lm = (((2,), (1,)), ((0,), (0,)))     # (g,n,m)x(g,m,K)->(g,n,K)
 
+    if rate is not None:
+        threshold = _keep_threshold(rate)
+        inv_keep = 1.0 / (1.0 - rate)
+        pos = jnp.arange(n, dtype=jnp.uint32)
+
     def heads(args):
-        qi, ki, vi, gi = args
+        qi, ki, vi, gi, bhi = args
         # Input-dtype operands + fp32 accumulation (fast MXU path for
         # bf16; identical numerics to the former bf16->fp32 upcast).
         s = jax.lax.dot_general(qi, ki, batch_last,
                                 preferred_element_type=jnp.float32)
         p = jax.nn.softmax(s, axis=-1)
-        pc = p.astype(gi.dtype)
-        dv = jax.lax.dot_general(pc, gi, batch_mid,
-                                 preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(gi, vi, batch_last,
+                                 preferred_element_type=jnp.float32)
+        if rate is not None:
+            keep = dropout_keep_mask(
+                seed[0], bhi[:, None, None], pos[None, :, None],
+                pos[None, None, :], threshold)
+            scale = jnp.where(keep, inv_keep, 0.0)
+            dp = dp * scale
+            pd = p * scale
+        else:
+            pd = p
+        dv = jax.lax.dot_general(pd.astype(gi.dtype), gi, batch_mid,
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dsc = ds.astype(qi.dtype)
@@ -436,7 +546,7 @@ def _flash_bwd_chunked(residuals, g, layout: str = "bnhk"):
         return (dq.astype(qi.dtype), dk.astype(ki.dtype),
                 dv.astype(vi.dtype))
 
-    dqf, dkf, dvf = jax.lax.map(heads, (qf, kf, vf, gf))
+    dqf, dkf, dvf = jax.lax.map(heads, (qf, kf, vf, gf, bh_idx))
 
     def from_bh(t):
         t = t.reshape(b, h, n, kdim)
@@ -449,7 +559,8 @@ _flash_attention_vjp.defvjp(_flash_fwd, _flash_bwd)
 
 
 def _flash_forward(q, k, v, block_q, block_kv, interpret,
-                   with_lse: bool = False, layout: str = "bnhk"):
+                   with_lse: bool = False, layout: str = "bnhk",
+                   rate: float | None = None, seed=None):
     heads_major = layout == "bhnk"
     if heads_major:
         b, h, n, kdim = q.shape
@@ -513,15 +624,22 @@ def _flash_forward(q, k, v, block_q, block_kv, interpret,
             out = out.transpose(0, 2, 1, 3)
         return out, lse
 
+    dropout = None
+    inputs = (qp, kp, vp)
+    if rate is not None:
+        dropout = (_keep_threshold(rate), 1.0 / (1.0 - rate))
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = (seed,) + inputs
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_kv=block_kv, seq_len=n),
+        functools.partial(_flash_kernel, block_kv=block_kv, seq_len=n,
+                          dropout=dropout),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_tile,
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad_q, k_pad_dim), q.dtype),
         cost_estimate=cost,
         interpret=interpret,
-    )(qp, kp, vp)
+    )(*inputs)
 
     out = out[:, :n, :kdim].reshape(b, h, n, kdim)
     if not heads_major:

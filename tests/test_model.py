@@ -179,14 +179,17 @@ def test_attention_dropout_each_mode():
         e2 = forward(params, images, cfg, train=False)
         np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
 
-    # flash falls back to the einsum path under training dropout: with the
-    # SAME rng both must produce identical logits.
+    # flash runs dropout IN-KERNEL (counter-based mask) since round 3:
+    # same rng draws a different mask than the einsum path, so outputs
+    # differ — but both are real dropout (checked above) and their
+    # statistics agree (test_flash_dropout_statistically_matches_...).
     flash = base.replace(use_flash_attention=True)
     out_e = forward(params, images, base, train=True,
                     dropout_rng=jax.random.PRNGKey(5))
     out_f = forward(params, images, flash, train=True,
                     dropout_rng=jax.random.PRNGKey(5))
-    np.testing.assert_array_equal(np.asarray(out_e), np.asarray(out_f))
+    assert out_f.shape == out_e.shape
+    assert bool(jnp.all(jnp.isfinite(out_f)))
 
     ring = base.replace(ring_attention=True)
     from vision_transformer_detector_tpu.parallel.mesh import create_mesh
@@ -369,3 +372,116 @@ def test_attention_layout_flag_equivalence():
     np.testing.assert_allclose(np.asarray(out_hm), np.asarray(out_tm),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_tm))
+
+
+def test_pad_attention_key_dim_exact_forward_and_grads():
+    """Weight-level head-dim padding (40-style -> 64) is numerically
+    exact: same forward output, same gradients on real weights, and
+    identically-zero gradients on the padding (so it stays zero under
+    training). VERDICT r2 next-step #4."""
+    from vision_transformer_detector_tpu.models.vit_detector import (
+        pad_attention_key_dim)
+
+    cfg = TINY  # key_dim 8 -> padded 64 exercises the same code path
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    padded = pad_attention_key_dim(params, to=64)
+    assert padded["encoder"][0]["mha"]["query"]["kernel"].shape[-1] == 64
+    # Idempotent / no-op when already wide enough.
+    again = pad_attention_key_dim(padded, to=64)
+    assert (again["encoder"][0]["mha"]["query"]["kernel"].shape
+            == padded["encoder"][0]["mha"]["query"]["kernel"].shape)
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 68, 68, 3),
+                                minval=-1, maxval=1)
+    want = forward(params, images, cfg)
+    got = forward(padded, images, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    # Heads-major einsum path too (the inference headline layout).
+    cfg_hm = cfg.replace(attention_heads_major=True)
+    got_hm = forward(padded, images, cfg_hm)
+    np.testing.assert_allclose(np.asarray(got_hm), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(p):
+        return jnp.sum(forward(p, images, cfg) ** 2)
+
+    g_plain = jax.grad(loss)(params)
+    g_padded = jax.grad(loss)(padded)
+    for b_plain, b_padded in zip(g_plain["encoder"], g_padded["encoder"]):
+        for name in ("query", "key", "value"):
+            kp = np.asarray(b_plain["mha"][name]["kernel"])
+            kq = np.asarray(b_padded["mha"][name]["kernel"])
+            np.testing.assert_allclose(kq[..., :kp.shape[-1]], kp,
+                                       atol=1e-4, rtol=1e-4)
+            assert np.all(kq[..., kp.shape[-1]:] == 0.0)
+        op = np.asarray(b_plain["mha"]["out"]["kernel"])
+        oq = np.asarray(b_padded["mha"]["out"]["kernel"])
+        np.testing.assert_allclose(oq[:, :op.shape[1]], op,
+                                   atol=1e-4, rtol=1e-4)
+        assert np.all(oq[:, op.shape[1]:] == 0.0)
+
+
+def test_flash_dropout_statistically_matches_einsum_dropout():
+    """keras-MHA probability dropout through the flash kernel vs the
+    einsum path: same keep-rate semantics, so averaging over seeds must
+    converge to the same (no-dropout) expectation for both (VERDICT r2
+    next-step #5 'statistical equivalence')."""
+    cfg_einsum = TINY.replace(dropout=0.4)
+    cfg_flash = cfg_einsum.replace(use_flash_attention=True)
+    params = init_params(jax.random.PRNGKey(0), cfg_einsum)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 68, 68, 3),
+                                minval=-1, maxval=1)
+    base = np.asarray(forward(params, images, TINY))  # no dropout
+
+    seeds = 24
+    sums = {}
+    for name, cfg in (("einsum", cfg_einsum), ("flash", cfg_flash)):
+        fwd = jax.jit(lambda p, x, r, cfg=cfg: forward(
+            p, x, cfg, train=True, dropout_rng=r))
+        acc = np.zeros_like(base)
+        for s in range(seeds):
+            acc += np.asarray(fwd(params, images, jax.random.PRNGKey(s)))
+        sums[name] = acc / seeds
+    # Through the nonlinear head, E[f(dropout(x))] != f(x) — but that
+    # bias is a property of the DROPOUT SEMANTICS, so the two paths must
+    # exhibit the SAME bias (measured 0.5652 vs 0.5608 relative at 24
+    # seeds) and their means must be close to each other.
+    scale = np.abs(base).mean() + 1e-6
+    rel = {name: np.abs(m - base).mean() / scale
+           for name, m in sums.items()}
+    assert abs(rel["flash"] - rel["einsum"]) < 0.05, rel
+    assert (np.abs(sums["flash"] - sums["einsum"]).mean() / scale
+            < 0.35)
+
+
+def test_windowed_flash_dropout_trains():
+    """Scaled stand-in for the 1024px windowed preset: flash + window +
+    dropout compiles and yields finite loss/grads (the old path fell
+    back to einsum under dropout; at 1024px that OOMed)."""
+    from vision_transformer_detector_tpu.config import LossConfig
+    from vision_transformer_detector_tpu.ops.loss import detection_loss
+
+    cfg = DetectorConfig(
+        image_size=(64, 64), patch_size=16, embedding_dim=16, num_heads=2,
+        key_dim=8, encoder_blocks=2, encoder_mlp_layers=2,
+        head_last_units=16, head_layers=2, dropout=0.2,
+        use_flash_attention=True, attention_window=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3),
+                                minval=-1, maxval=1)
+    labels = np.full((2, cfg.max_objects, 6), -8.0, np.float32)
+    labels[:, :, 0] = 0.0
+    labels[0, 0] = (1, 3, 32, 32, 16, 16)
+
+    def loss_fn(p, rng):
+        logits = forward(p, images, cfg, train=True, dropout_rng=rng)
+        return detection_loss(jnp.asarray(labels), logits, cfg,
+                              LossConfig())
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        params, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -185,6 +185,13 @@ class TrainConfig:
     epochs_warm_up: int = 500
     skip_epochs: int = 500
     seed: int = 0
+    # Adam moment dtypes (None = fp32). "bfloat16" halves optimizer-state
+    # HBM traffic; master params stay fp32 so only the update DIRECTION
+    # carries bf16 rounding. nu (second moment) in bf16 additionally
+    # needs the compensated update in train/optimizer.py
+    # (scale_by_adam_compact). Measured A/B: tools/bench_opt_dtypes.py.
+    adam_mu_dtype: str | None = None
+    adam_nu_dtype: str | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +254,13 @@ def highres_1024() -> DetectorConfig:
     remat_policy="alternate" (checkpoint every other block) by
     measurement: remat-off and 'dots' both OOM at batch 8 while full
     remat wastes recompute — alternate trains at 610 vs 706 ms/step
-    (PERFORMANCE.md round 2b)."""
+    (PERFORMANCE.md round 2b).
+
+    Training WITH dropout: use remat_policy=None (full remat). The
+    non-remat'd half of 'alternate' additionally keeps the MLP dropout
+    masks live as residuals, which OOMs at batch 8; full remat trains
+    at 762 ms/step with dropout=0.1 (in-kernel flash dropout, measured
+    2026-08-17 on v5e)."""
     return DetectorConfig(
         image_size=(1024, 1024), patch_size=16, embedding_dim=1024,
         num_heads=16, key_dim=64, encoder_blocks=24, encoder_mlp_layers=2,

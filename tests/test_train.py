@@ -1,6 +1,8 @@
 """Training-loop tests: loss decreases on a tiny overfit run, weight clip,
 LR schedule boundaries, checkpoint round-trip, eval mAP path."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -323,3 +325,54 @@ def test_restore_latest_skips_partial_checkpoint(tmp_path):
     (tmp_path / ckpt_lib.step_checkpoint_name(3)).mkdir()
     restored = trainer.restore_latest(trainer.init_state(seed=9))
     assert int(restored["step"]) == 4
+
+
+def test_bf16_adam_moments_track_fp32_dynamics():
+    """Reduced-precision Adam moment state (TrainConfig.adam_mu_dtype /
+    adam_nu_dtype): updates computed in fp32, state rounded to bf16 —
+    training must track the fp32 optimizer closely on a short overfit.
+    VERDICT r2 next-step #3."""
+    images, labels = _batch()
+    rng = jax.random.PRNGKey(0)
+    losses = {}
+    for name, tc in (("fp32", TC),
+                     ("mu", dataclasses.replace(TC, adam_mu_dtype="bfloat16")),
+                     ("munu", dataclasses.replace(
+                         TC, adam_mu_dtype="bfloat16",
+                         adam_nu_dtype="bfloat16"))):
+        optimizer = make_optimizer(tc)
+        state = create_train_state(jax.random.PRNGKey(1), TINY, optimizer)
+        step = make_train_step(TINY, LOSS, optimizer, donate=False)
+        trace = []
+        for _ in range(12):
+            state, loss = step(state, images, labels, rng)
+            trace.append(float(loss))
+        losses[name] = trace
+        assert all(np.isfinite(trace)), name
+        assert trace[-1] < trace[0], (name, trace)
+    # bf16 state must not change the trajectory materially over a short
+    # horizon (all arithmetic fp32; only state storage is rounded).
+    for name in ("mu", "munu"):
+        rel = abs(losses[name][-1] - losses["fp32"][-1]) / losses["fp32"][-1]
+        assert rel < 0.02, (name, losses)
+
+
+def test_bf16_moment_state_dtypes_and_checkpoint(tmp_path):
+    """The compact Adam state really is bf16, and it round-trips through
+    the checkpoint machinery."""
+    tc = dataclasses.replace(TC, adam_mu_dtype="bfloat16",
+                             adam_nu_dtype="bfloat16")
+    trainer = Trainer(TINY, LOSS, tc, checkpoint_dir=str(tmp_path))
+    state = trainer.init_state()
+    leaves = jax.tree_util.tree_leaves(state["opt_state"])
+    dtypes = {str(l.dtype) for l in leaves if hasattr(l, "dtype")
+              and l.ndim > 0}
+    assert "bfloat16" in dtypes
+    images, labels = _batch()
+    state, _ = trainer.train_step(state, images, labels,
+                                  jax.random.PRNGKey(0))
+    trainer.save(state, name="ongoing")
+    restored = trainer.restore(trainer.init_state(seed=9), name="ongoing")
+    for a, b in zip(jax.tree_util.tree_leaves(state["opt_state"]),
+                    jax.tree_util.tree_leaves(restored["opt_state"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -37,6 +37,18 @@ def main() -> None:
     device = jax.devices()[0]
     on_tpu = device.platform != "cpu"
 
+    # Kernel numerics gate (VERDICT r2 weak #5): a Mosaic regression must
+    # fail the bench run, not silently drift the throughput number. One
+    # JSON line per check; the headline metric line still prints last.
+    kernels_ok = True
+    if on_tpu:
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from kernel_checks import print_kernel_checks
+        kernels_ok = print_kernel_checks()
+
     if on_tpu:
         # Inference-only: heads-major attention layout wins at batch 128
         # even for the narrow reference head_dim (543 vs 532 img/s) —
@@ -89,6 +101,8 @@ def main() -> None:
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 2)
         if on_tpu else 0.0,
     }))
+    if not kernels_ok:
+        raise SystemExit("kernel numerics check failed (see lines above)")
 
 
 if __name__ == "__main__":

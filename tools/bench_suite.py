@@ -89,12 +89,20 @@ def main() -> None:
     parser.add_argument("--markdown", action="store_true")
     parser.add_argument("--single", action="store_true",
                         help="run in-process (child mode)")
+    parser.add_argument("--skip-kernel-checks", action="store_true")
     args = parser.parse_args()
 
     from vision_transformer_detector_tpu.utils.runtime import (
         enable_compilation_cache)
 
     enable_compilation_cache()
+
+    if not args.single and not args.skip_kernel_checks:
+        # Real-hardware kernel-vs-oracle gate: a numerics regression
+        # fails the suite instead of drifting a number.
+        from kernel_checks import print_kernel_checks
+        if not print_kernel_checks():
+            raise SystemExit("kernel numerics check failed")
 
     if args.single:
         for name in args.presets.split(","):

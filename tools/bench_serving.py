@@ -90,6 +90,8 @@ def main() -> None:
     parser.add_argument("--requests-per-thread", type=int, default=8)
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--window-ms", type=float, default=5.0)
+    parser.add_argument("--bucket-mode", default="pow2",
+                        choices=("pow2", "exact"))
     args = parser.parse_args()
 
     import jax
@@ -113,7 +115,8 @@ def main() -> None:
     for batching in (False, True):
         server = DetectionServer(service, port=0, batching=batching,
                                  max_batch=args.max_batch,
-                                 max_wait_ms=args.window_ms)
+                                 max_wait_ms=args.window_ms,
+                                 bucket_mode=args.bucket_mode)
         server.start()
         base = f"http://127.0.0.1:{server.port}"
         try:

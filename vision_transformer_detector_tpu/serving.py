@@ -156,10 +156,18 @@ class BatchingDetectionService:
     """
 
     def __init__(self, service: DetectionService, max_batch: int = 8,
-                 max_wait_ms: float = 5.0, pipeline_depth: int = 3):
+                 max_wait_ms: float = 5.0, pipeline_depth: int = 3,
+                 bucket_mode: str = "pow2"):
+        if bucket_mode not in ("pow2", "exact"):
+            raise ValueError(f"unknown bucket_mode {bucket_mode!r}")
         self.service = service
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        # "pow2": pad to power-of-two buckets (few jit specialisations).
+        # "exact": one graph per size 1..max_batch — no padded transfer
+        # bytes, for ingest-bandwidth-bound links; warmup() compiles all
+        # sizes up front.
+        self.bucket_mode = bucket_mode
         self._queue: "queue.Queue" = queue.Queue()
         self.batch_sizes: List[int] = []   # observability: sizes served
         # Two-stage pipeline: the dispatcher enqueues device work without
@@ -199,6 +207,8 @@ class BatchingDetectionService:
         return slot["result"]
 
     def _bucket(self, n: int) -> int:
+        if self.bucket_mode == "exact":
+            return min(n, self.max_batch)
         size = 1
         while size < n:
             size *= 2
@@ -321,11 +331,13 @@ class DetectionServer:
     def __init__(self, service: DetectionService, host: str = "127.0.0.1",
                  port: int = 8000, batching: bool = True,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
-                 request_timeout: float = 30.0, warmup: bool = True):
+                 request_timeout: float = 30.0, warmup: bool = True,
+                 bucket_mode: str = "pow2"):
         self.service = service
         self.batcher: Optional[BatchingDetectionService] = (
             BatchingDetectionService(service, max_batch=max_batch,
-                                     max_wait_ms=max_wait_ms)
+                                     max_wait_ms=max_wait_ms,
+                                     bucket_mode=bucket_mode)
             if batching else None)
         if self.batcher is not None and warmup:
             self.batcher.warmup()

@@ -463,3 +463,77 @@ def test_real_annotation_golden_perfect_detector_scores_ap1():
     s = ev.evaluate().summarize()
     assert s["AP"] == 1.0
     assert s["AP50"] == 1.0
+
+
+def test_original_frame_evaluation_roundtrip(tmp_path):
+    """evaluate_coco_protocol_original_frame: a detector that predicts
+    exactly the letterboxed ground truth must score AP 1.0 after the
+    inverse letterbox back to source pixels — validating the coordinate
+    round-trip AND that areas come from the annotation dict (original
+    frame), not the resized frame."""
+    import jax
+    from PIL import Image
+
+    from vision_transformer_detector_tpu.config import DetectorConfig
+    from vision_transformer_detector_tpu.data.annotations import (
+        letterbox_boxes)
+    from vision_transformer_detector_tpu.metrics.coco_eval import (
+        evaluate_coco_protocol_original_frame)
+
+    cfg = DetectorConfig(
+        image_size=(64, 64), patch_size=16, embedding_dim=16, num_heads=2,
+        key_dim=8, encoder_blocks=1, encoder_mlp_layers=2,
+        head_last_units=16, head_layers=1)
+
+    images = tmp_path / "img"
+    images.mkdir()
+    # Non-square sources on both sides of the aspect ratio.
+    sizes = {1: (80, 120), 2: (100, 60)}      # id -> (h, w)
+    annotations = {}
+    for img_id, (h, w) in sizes.items():
+        Image.new("RGB", (w, h), (10, 20, 30)).save(
+            images / f"{img_id:012d}.jpg")
+        # [coco_cat, cx, cy, h, w, area] in ORIGINAL pixels; category 1
+        # (person) and 3 (car) are both in the detected-80 table; one
+        # unmapped category (COCO id 83 has no model id) must be skipped.
+        annotations[str(img_id)] = [
+            [1, w * 0.4, h * 0.5, h * 0.4, w * 0.3, 12.0],
+            [3, w * 0.7, h * 0.3, h * 0.2, w * 0.2, 3000.0],
+            [83, w * 0.5, h * 0.5, 10.0, 10.0, 100.0],
+        ]
+
+    def fake_eval_step(params, batch):
+        # Emit decoded predictions AT the letterboxed gt boxes, in the
+        # order list_image_paths yields the images (sorted by filename).
+        out = np.zeros((batch.shape[0], cfg.max_objects, 6), np.float32)
+        for i, img_id in enumerate(sorted(sizes)):
+            h, w = sizes[img_id]
+            rows = [r for r in annotations[str(img_id)] if r[0] != 83]
+            boxes = np.asarray([[r[1], r[2], r[3], r[4]] for r in rows],
+                               np.float32)  # cx, cy, h, w original
+            lb = letterbox_boxes(
+                np.stack([boxes[:, 0], boxes[:, 1], boxes[:, 2],
+                          boxes[:, 3]], axis=-1)[:, [0, 1, 2, 3]],
+                (h, w), cfg.image_size)
+            # letterbox_boxes maps (cx, cy) in cols 0-1 and scales all 4;
+            # cols 2-3 here are (h, w) magnitudes -> same 1/scale factor.
+            from vision_transformer_detector_tpu.data.annotations import (
+                letterbox_params)
+            scale, _, _ = letterbox_params((h, w), cfg.image_size)
+            for j, r in enumerate(rows):
+                model_cat = {1: 0, 3: 2}[r[0]]
+                out[i, j] = (0.9, model_cat, lb[j, 0], lb[j, 1],
+                             r[3] / scale, r[4] / scale)
+        return out
+
+    summary = evaluate_coco_protocol_original_frame(
+        params=None, image_dir=str(images), annotations=annotations,
+        config=cfg, batch_size=2, eval_step=fake_eval_step,
+        objectness_threshold=0.5)
+    assert summary["AP"] == 1.0
+    assert summary["AP50"] == 1.0
+    # Areas come from the dict: one tiny (12 px^2 -> small) and one
+    # medium (3000 px^2) gt per image.
+    assert summary["AP_small"] == 1.0
+    assert summary["AP_medium"] == 1.0
+    assert summary["AP_large"] == -1.0

@@ -130,9 +130,22 @@ def cmd_evaluate(args) -> None:
         state["params"] = load_params_npz(args.params_npz, state["params"])
     elif args.restore:
         state = trainer.restore(state, args.restore)
+    protocol = getattr(args, "protocol", "custom")
+    if protocol == "coco-original":
+        from .data.annotations import load_annotations_dict
+        from .metrics.coco_eval import (
+            evaluate_coco_protocol_original_frame)
+
+        summary = evaluate_coco_protocol_original_frame(
+            state["params"], args.val_images,
+            load_annotations_dict(args.val_annotations), config,
+            batch_size=args.batch_size,
+            objectness_threshold=args.objectness_threshold)
+        print(json.dumps({"protocol": "coco-original", **summary}))
+        return
     data = _build_dataset(args, config, args.val_images,
                           args.val_annotations)
-    if getattr(args, "protocol", "custom") == "coco":
+    if protocol == "coco":
         from .metrics.coco_eval import evaluate_coco_protocol
 
         summary = evaluate_coco_protocol(
@@ -378,12 +391,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("evaluate", help="compute mAP on a dataset")
     common(p, needs_val="required")
-    p.add_argument("--protocol", choices=("custom", "coco"),
+    p.add_argument("--protocol",
+                   choices=("custom", "coco", "coco-original"),
                    default="custom",
                    help="'custom' = the reference's streaming metric "
                         "(vtd.py:1268, bit-compatible); 'coco' = the "
-                        "official COCO protocol (101-pt interpolation, "
-                        "area ranges, maxDets; metrics/coco_eval.py)")
+                        "official COCO protocol on letterboxed-frame "
+                        "boxes; 'coco-original' = the official protocol "
+                        "in ORIGINAL image coordinates with real COCO "
+                        "areas (metrics/coco_eval.py)")
     p.add_argument("--objectness-threshold", type=float, default=0.0,
                    help="coco protocol only: drop detections at or below "
                         "this objectness (default keeps all, the "

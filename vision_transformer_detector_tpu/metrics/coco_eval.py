@@ -417,6 +417,76 @@ def update_from_fixed_slots(evaluator: CocoEvaluator, labels: np.ndarray,
             det_categories=det_categories)
 
 
+def evaluate_coco_protocol_original_frame(
+        params, image_dir: str, annotations: dict, config,
+        batch_size: int = 8, eval_step=None,
+        objectness_threshold: float = 0.0,
+        class_confidence_threshold: float = 0.0,
+        images_range=None) -> Dict[str, float]:
+    """Official protocol in ORIGINAL image coordinates.
+
+    Ground truth comes straight from the annotation dict
+    (``{image_id: [[coco_cat, cx, cy, h, w, area], ...]}``, original
+    pixels — data/annotations.py), so areas are the REAL COCO areas and
+    the small/medium/large buckets match the official definition (the
+    letterboxed path measures areas in the resized frame). Detections
+    are inverse-letterboxed back to source pixels.
+
+    Divergence note: the reference's dict format does not record
+    ``iscrowd`` (vision_transformer_utilities.py:139-152 keeps only
+    category/box/area), so crowd regions score as ordinary ground truth
+    here — the same simplification the reference's own metric makes.
+    """
+    import jax.numpy as jnp
+
+    from ..data.annotations import letterbox_params as lb_params
+    from ..data.categories import COCO_ID_TO_MODEL_ID
+    from ..data.pipeline import (image_id_from_path, list_image_paths,
+                                 load_and_letterbox_image)
+    from ..train.trainer import make_eval_step
+
+    if eval_step is None:
+        eval_step = make_eval_step(config)
+    paths = [p for p in list_image_paths(image_dir,
+                                         images_range=images_range)
+             if image_id_from_path(p) in annotations]
+    evaluator = CocoEvaluator()
+    mh, mw = config.image_size
+    for start in range(0, len(paths), batch_size):
+        chunk = paths[start:start + batch_size]
+        canvases, sizes = zip(*(load_and_letterbox_image(p, config)
+                                for p in chunk))
+        decoded = np.asarray(eval_step(
+            params, jnp.asarray(np.stack(canvases))))
+        for i, path in enumerate(chunk):
+            det_boxes, det_scores, det_categories = \
+                detections_from_decoded(decoded[i], objectness_threshold,
+                                        class_confidence_threshold)
+            # Inverse letterbox: model frame -> source pixels.
+            scale, blank_h, blank_w = lb_params(sizes[i], (mh, mw))
+            det_boxes = det_boxes.copy()
+            det_boxes[:, 0] = (det_boxes[:, 0] - blank_w) * scale
+            det_boxes[:, 1] = (det_boxes[:, 1] - blank_h) * scale
+            det_boxes[:, 2:] *= scale
+
+            gt_boxes, gt_categories, gt_areas = [], [], []
+            for row in annotations[image_id_from_path(path)]:
+                coco_id = int(row[0])
+                if coco_id not in COCO_ID_TO_MODEL_ID:
+                    continue
+                _, cx, cy, bh, bw, area = (float(v) for v in row[:6])
+                gt_boxes.append((cx - bw / 2.0, cy - bh / 2.0, bw, bh))
+                gt_categories.append(COCO_ID_TO_MODEL_ID[coco_id])
+                gt_areas.append(area)
+            evaluator.add_image(
+                gt_boxes=np.asarray(gt_boxes, np.float64).reshape(-1, 4),
+                gt_categories=gt_categories,
+                gt_areas=gt_areas,
+                det_boxes=det_boxes, det_scores=det_scores,
+                det_categories=det_categories)
+    return evaluator.evaluate().summarize()
+
+
 def evaluate_coco_protocol(params, dataset, config, eval_step=None,
                            objectness_threshold: float = 0.0,
                            class_confidence_threshold: float = 0.0

@@ -129,3 +129,68 @@ def test_highres_ring_preset_trains_on_mesh():
         state, loss = trainer.train_step(state, images, labels,
                                          jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_ring_dropout_matches_flash_and_masked_oracle():
+    """Ring attention's in-kernel dropout uses the SAME positional mask
+    as the flash kernel, keyed on GLOBAL coordinates — so the output is
+    identical to flash-with-dropout and to an explicit-mask einsum
+    oracle, for every ring size (sharding-invariance of the mask)."""
+    import jax.numpy as jnp
+
+    from vision_transformer_detector_tpu.kernels.flash_attention import (
+        _keep_threshold, dropout_keep_mask, flash_attention)
+    from vision_transformer_detector_tpu.kernels.ring_attention import (
+        ring_attention_in_jit)
+
+    b, n, h, kd = 2, 64, 2, 16
+    q, k, v = _qkv(b, n, h, kd, seed=5)
+    rate, seed = 0.3, 4242
+
+    # Explicit-mask oracle.
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    bh = jnp.arange(b * h, dtype=jnp.uint32).reshape(b, h)
+    keep = dropout_keep_mask(
+        jnp.uint32(seed), bh[:, :, None, None],
+        pos[None, None, :, None], pos[None, None, None, :],
+        _keep_threshold(rate))
+    scores = jnp.einsum("bnhk,bmhk->bhnm", q, k)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    want = np.asarray(jnp.einsum("bhnm,bmhk->bnhk", probs, v))
+
+    flash = np.asarray(flash_attention(
+        q, k, v, dropout_rate=rate, dropout_seed=jnp.uint32(seed)))
+    np.testing.assert_allclose(flash, want, atol=3e-5, rtol=3e-5)
+
+    for ring in (2, 4):
+        mesh = create_mesh(data=8 // ring, model=ring)
+        with mesh:
+            out = jax.jit(
+                lambda q, k, v: ring_attention_in_jit(
+                    q, k, v, mesh, dropout_rate=rate,
+                    dropout_seed=jnp.uint32(seed)))(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), want,
+                                   atol=3e-5, rtol=3e-5,
+                                   err_msg=f"ring={ring}")
+
+
+def test_ring_dropout_gradients_finite():
+    """Autodiff through the rotated loop with dropout: finite grads."""
+    import jax.numpy as jnp
+
+    from vision_transformer_detector_tpu.kernels.ring_attention import (
+        ring_attention_in_jit)
+
+    mesh = create_mesh(data=4, model=2)
+    q, k, v = _qkv(1, 32, 2, 8, seed=6)
+
+    def loss(q, k, v):
+        out = ring_attention_in_jit(q, k, v, mesh, dropout_rate=0.25,
+                                    dropout_seed=jnp.uint32(7))
+        return jnp.sum(out ** 2)
+
+    with mesh:
+        grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))

@@ -31,10 +31,20 @@ from ..parallel.mesh import MODEL_AXIS
 _NEG_INF = -1e30
 
 
-def _ring_attention_local(q, k, v, axis_name: str, axis_size: int):
+def _ring_attention_local(q, k, v, seed=None, *, axis_name: str,
+                          axis_size: int, dropout: tuple | None = None):
     """Runs inside shard_map: q/k/v are this device's token shards
     (B, n_local, H, K). Rotates K/V ``axis_size`` times, accumulating
-    streaming-softmax statistics in fp32."""
+    streaming-softmax statistics in fp32.
+
+    ``dropout=(threshold, inv_keep)`` applies keras-MHA probability
+    dropout with the flash kernel's counter-based positional mask
+    (kernels/flash_attention.py:dropout_keep_mask) keyed on GLOBAL
+    (batch*head, query, key) coordinates — each ring step reconstructs
+    the rotated block's global kv offset from the step count, so the
+    mask is identical no matter how the tokens are sharded, and autodiff
+    through the loop replays it exactly.
+    """
     b, n_q, h, kd = q.shape
 
     perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
@@ -43,7 +53,17 @@ def _ring_attention_local(q, k, v, axis_name: str, axis_size: int):
     l0 = jnp.zeros((b, h, n_q), jnp.float32)
     acc0 = jnp.zeros((b, h, n_q, kd), jnp.float32)
 
-    def block(carry, k_blk, v_blk):
+    if dropout is not None:
+        from .flash_attention import dropout_keep_mask
+
+        threshold, inv_keep = dropout
+        my_index = jax.lax.axis_index(axis_name)
+        bh_idx = (jnp.arange(b, dtype=jnp.uint32)[:, None] * h
+                  + jnp.arange(h, dtype=jnp.uint32)[None, :])
+        q_pos = (my_index.astype(jnp.uint32) * n_q
+                 + jnp.arange(n_q, dtype=jnp.uint32))
+
+    def block(carry, k_blk, v_blk, step):
         m, l, acc = carry
         # Input-dtype operands + fp32 accumulation: fast MXU path for
         # bf16 shards, identical numerics (bf16 is a subset of fp32).
@@ -53,6 +73,17 @@ def _ring_attention_local(q, k, v, axis_name: str, axis_size: int):
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new[..., None])
         l_new = l * alpha + jnp.sum(p, axis=-1)
+        if dropout is not None:
+            # After ``step`` rotations this device holds the block that
+            # originated on device (my_index - step) mod ring.
+            origin = jnp.mod(my_index - step, axis_size)
+            k_pos = (origin.astype(jnp.uint32) * k_blk.shape[1]
+                     + jnp.arange(k_blk.shape[1], dtype=jnp.uint32))
+            keep = dropout_keep_mask(
+                seed, bh_idx[:, :, None, None],
+                q_pos[None, None, :, None], k_pos[None, None, None, :],
+                threshold)
+            p = p * (keep.astype(jnp.float32) * inv_keep)
         acc_new = acc * alpha[..., None] + jnp.einsum(
             "bhnm,bmhk->bhnk", p.astype(v_blk.dtype), v_blk,
             preferred_element_type=jnp.float32)
@@ -66,7 +97,7 @@ def _ring_attention_local(q, k, v, axis_name: str, axis_size: int):
         if step + 1 < axis_size:
             k_next = jax.lax.ppermute(k_cur, axis_name, perm)
             v_next = jax.lax.ppermute(v_cur, axis_name, perm)
-        carry = block(carry, k_cur, v_cur)
+        carry = block(carry, k_cur, v_cur, step)
         if step + 1 < axis_size:
             k_cur, v_cur = k_next, v_next
 
@@ -77,10 +108,13 @@ def _ring_attention_local(q, k, v, axis_name: str, axis_size: int):
 
 def ring_attention_in_jit(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       mesh: Mesh,
-                      axis_name: str = MODEL_AXIS) -> jnp.ndarray:
+                      axis_name: str = MODEL_AXIS,
+                      dropout_rate: float | None = None,
+                      dropout_seed=None) -> jnp.ndarray:
     """Ring attention for use INSIDE an enclosing jit (no device_put):
     shard_map partitions the token axis over ``axis_name`` and GSPMD wires
-    the surrounding program around it."""
+    the surrounding program around it. ``dropout_rate``/``dropout_seed``
+    enable training probability-dropout (see _ring_attention_local)."""
     try:
         from jax import shard_map
     except ImportError:  # pragma: no cover
@@ -91,11 +125,22 @@ def ring_attention_in_jit(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert n % axis_size == 0, (
         f"token axis {n} must divide ring size {axis_size}")
     spec = P(None, axis_name, None, None)
+    if dropout_rate in (None, 0.0):
+        dropout = None
+        seed = jnp.zeros((), jnp.uint32)
+    else:
+        from .flash_attention import _keep_threshold
+
+        if dropout_seed is None:
+            raise ValueError("dropout_rate needs a dropout_seed")
+        dropout = (_keep_threshold(float(dropout_rate)),
+                   1.0 / (1.0 - float(dropout_rate)))
+        seed = jnp.asarray(dropout_seed).astype(jnp.uint32).reshape(())
     fn = shard_map(
         functools.partial(_ring_attention_local, axis_name=axis_name,
-                          axis_size=axis_size),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
-    return fn(q, k, v)
+                          axis_size=axis_size, dropout=dropout),
+        mesh=mesh, in_specs=(spec, spec, spec, P()), out_specs=spec)
+    return fn(q, k, v, seed)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))

@@ -406,15 +406,13 @@ def _attention_tokens_major(xc, mha, config, compute_dtype, b, n, h, k,
     v = proj(mha["value"])
 
     if config.ring_attention and mesh is not None:
-        if dropping:
-            raise NotImplementedError(
-                "attention dropout is not implemented for ring attention; "
-                "set dropout=None or disable ring_attention for training "
-                "with dropout")
         from ..kernels.ring_attention import ring_attention_in_jit
         return ring_attention_in_jit(
             q.astype(compute_dtype), key.astype(compute_dtype),
-            v.astype(compute_dtype), mesh)
+            v.astype(compute_dtype), mesh,
+            dropout_rate=config.dropout if dropping else None,
+            dropout_seed=jax.random.bits(dropout_rng, (), jnp.uint32)
+            if dropping else None)
     if window is not None:
         gh, gw = config.grid_size
         return _windowed_attention(

@@ -52,16 +52,19 @@ def run_kernel_checks() -> List[dict]:
         rngs = jax.random.split(jax.random.PRNGKey(seed), 3)
         return tuple(jax.random.normal(r, shape, dtype) for r in rngs)
 
-    # Flash forward, fp32, the reference-arch shape (N=1296, K=40 needs
-    # zero head-dim padding to 64 and KV masking).
-    q, k, v = qkv((2, 1296, 8, 40), jnp.float32, 0)
-    check("flash_fwd_fp32_n1296_k40",
+    # Shapes are deliberately SMALL: the checks run at the top of every
+    # bench invocation and an uncached compile of the full headline
+    # shapes blew bench.py's time budget (measured: >590 s total). These
+    # still cover the regression surface — head-dim 40 zero-padding to
+    # 64, KV masking at a non-multiple-of-128 sequence, bf16 at an
+    # aligned K — while compiling in seconds.
+    q, k, v = qkv((2, 300, 4, 40), jnp.float32, 0)
+    check("flash_fwd_fp32_n300_k40",
           flash_attention(q, k, v),
           reference_attention(q, k, v), bound=5e-2)
 
-    # Flash forward, bf16, the L/16 shape.
-    q, k, v = qkv((2, 1600, 16, 64), jnp.bfloat16, 1)
-    check("flash_fwd_bf16_n1600_k64",
+    q, k, v = qkv((1, 512, 4, 64), jnp.bfloat16, 1)
+    check("flash_fwd_bf16_n512_k64",
           flash_attention(q, k, v),
           reference_attention(q.astype(jnp.float32),
                               k.astype(jnp.float32),
@@ -105,5 +108,8 @@ def print_kernel_checks() -> bool:
 
 
 if __name__ == "__main__":
-    import sys
+    from vision_transformer_detector_tpu.utils.runtime import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
     sys.exit(0 if print_kernel_checks() else 1)

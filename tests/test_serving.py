@@ -256,3 +256,50 @@ def test_http_request_timeout_returns_503(service):
         assert e.value.code == 503
     finally:
         server.stop()
+
+
+def test_exported_detection_service_matches_live(tmp_path, service):
+    """Serving a StableHLO artifact (cli serve --from-export): same
+    detections as the live-model service, through the full HTTP path."""
+    from PIL import Image
+
+    from vision_transformer_detector_tpu.export import save_exported
+    from vision_transformer_detector_tpu.models.vit_detector import (
+        init_params)
+    from vision_transformer_detector_tpu.serving import (
+        ExportedDetectionService)
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    artifact = str(tmp_path / "artifact")
+    save_exported(artifact, params, CFG, batch_size=[1, 2])
+
+    exported = ExportedDetectionService(artifact, score_threshold=-1.0)
+    assert exported.config == CFG
+    assert exported.max_batch_size == 2
+
+    images = np.random.default_rng(5).integers(
+        0, 255, (2, 64, 64, 3), np.uint8)
+    live = service.detect_array(images)
+    frozen = exported.detect_array(images)
+    assert len(frozen) == len(live) == 2
+    for a, b in zip(frozen, live):
+        assert len(a) == len(b)
+        for da, db in zip(a, b):
+            assert da["class_id"] == db["class_id"]
+            assert da["score"] == pytest.approx(db["score"], abs=1e-3)
+
+    server = DetectionServer(exported, port=0, max_batch=2,
+                             max_wait_ms=20.0)
+    server.start()
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((48, 40, 3), np.uint8)).save(
+            buf, format="JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/predict", data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            result = json.loads(r.read())
+        assert "detections" in result
+        assert result["image_size"] == {"height": 48, "width": 40}
+    finally:
+        server.stop()

@@ -287,7 +287,16 @@ def cmd_stats(args) -> None:
 
 
 def cmd_serve(args) -> None:
-    from .serving import DetectionServer, DetectionService
+    from .serving import DetectionService, ExportedDetectionService
+
+    if args.from_export:
+        service = ExportedDetectionService(
+            args.from_export,
+            iou_threshold=args.nms_iou_threshold,
+            score_threshold=args.score_threshold)
+        _serve(args, service)
+        return
+
     from .train.trainer import Trainer
     from .utils.checkpoint import load_params_npz
 
@@ -306,6 +315,11 @@ def cmd_serve(args) -> None:
     service = DetectionService(config, params,
                                iou_threshold=args.nms_iou_threshold,
                                score_threshold=args.score_threshold)
+    _serve(args, service)
+
+
+def _serve(args, service) -> None:
+    from .serving import DetectionServer
     server = DetectionServer(service, host=args.host, port=args.port,
                              batching=not args.no_batching,
                              max_batch=args.max_batch,
@@ -466,6 +480,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(closes early when --max-batch is reached)")
     p.add_argument("--request-timeout", type=float, default=30.0,
                    help="seconds before a queued request gets HTTP 503")
+    p.add_argument("--from-export", default=None, metavar="DIR",
+                   help="serve a StableHLO export artifact (cli export) "
+                        "instead of building the model — pins the graph "
+                        "against code drift; pair with a multi-batch "
+                        "bundle for the micro-batcher")
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser(

@@ -21,6 +21,7 @@ pipelined measurement).
 
 from __future__ import annotations
 
+import functools
 import io
 import json
 import queue
@@ -139,6 +140,54 @@ class DetectionService:
         canvas, original_size = self.letterbox_jpeg(data)
         return self.map_to_source(self.detect_array(canvas[None])[0],
                                   original_size)
+
+
+class ExportedDetectionService(DetectionService):
+    """DetectionService backed by a StableHLO export artifact.
+
+    The exported graph (export.py: forward + decode, pinned shapes/
+    dtypes) replaces the live-model jit; the NMS/top-k postprocess runs
+    in its own small jit on the decoded output. Serving a frozen
+    artifact pins the model graph against code drift — the deployment
+    story: `cli export` on the training host, `cli serve --from-export`
+    on the serving host, which never imports the model-building code.
+
+    Request batches route through the artifact's exported batch sizes
+    (ExportedDetector pads to the smallest fitting graph), so use with a
+    multi-batch bundle (`cli export --batch-sizes 1 2 4 8`) for the
+    micro-batcher.
+    """
+
+    def __init__(self, directory: str, k: int = 17,
+                 iou_threshold: float = 0.5,
+                 score_threshold: float = 0.0):
+        import jax
+
+        from .export import load_exported
+        from .ops.nms import postprocess_detections
+
+        self._exported = load_exported(directory)
+        self.config = self._exported.config
+        self.params = None   # the artifact owns the weights
+
+        postprocess = jax.jit(functools.partial(
+            postprocess_detections, k=k, iou_threshold=iou_threshold,
+            score_threshold=score_threshold))
+
+        def predict(images):
+            images = np.asarray(images)
+            if images.dtype == np.uint8:
+                images = images.astype(np.float32) / 127.5 - 1.0
+            return postprocess(self._exported(images))
+
+        self._predict_exported = predict
+
+    def predict_raw(self, images: np.ndarray):
+        return self._predict_exported(images)
+
+    @property
+    def max_batch_size(self) -> int:
+        return self._exported.batch_size
 
 
 class BatchingDetectionService:

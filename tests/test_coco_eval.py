@@ -537,3 +537,19 @@ def test_original_frame_evaluation_roundtrip(tmp_path):
     assert summary["AP_small"] == 1.0
     assert summary["AP_medium"] == 1.0
     assert summary["AP_large"] == -1.0
+
+
+def test_per_category_breakdown():
+    ev = CocoEvaluator()
+    ev.add_image(
+        gt_boxes=[[0, 0, 10, 10], [50, 50, 10, 10]],
+        gt_categories=[0, 1],
+        det_boxes=[[0, 0, 10, 10], [80, 80, 10, 10], [0, 0, 5, 5]],
+        det_scores=[0.9, 0.9, 0.9],
+        det_categories=[0, 1, 2])
+    per = ev.evaluate().per_category()
+    assert per[0] == 1.0          # perfect
+    assert per[1] == 0.0          # missed
+    assert per[2] == -1.0         # no ground truth -> undefined
+    per50 = ev.evaluate().per_category(iou=0.5)
+    assert per50[0] == 1.0

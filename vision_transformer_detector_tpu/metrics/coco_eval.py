@@ -183,6 +183,23 @@ class CocoEvalResults:
         valid = r[r > -1]
         return float(valid.mean()) if valid.size else -1.0
 
+    def per_category(self, iou: Optional[float] = None,
+                     area: str = "all",
+                     max_dets: int = 100) -> Dict[int, float]:
+        """AP per category id (-1 where the category has no ground
+        truth) — the standard per-class breakdown COCOeval users pull
+        from the precision tensor."""
+        out = {}
+        for ki, category in enumerate(self.categories):
+            p = self.precision[:, :, ki, self._area_index(area),
+                               self._maxdet_index(max_dets)]
+            if iou is not None:
+                ti = int(np.argmin(np.abs(self.iou_thresholds - iou)))
+                p = p[ti:ti + 1]
+            valid = p[p > -1]
+            out[category] = float(valid.mean()) if valid.size else -1.0
+        return out
+
     def summarize(self) -> Dict[str, float]:
         """The 12 standard COCO summary metrics."""
         big = max(self.max_dets)

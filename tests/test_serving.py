@@ -303,3 +303,44 @@ def test_exported_detection_service_matches_live(tmp_path, service):
         assert result["image_size"] == {"height": 48, "width": 40}
     finally:
         server.stop()
+
+
+@pytest.mark.slow
+def test_cli_serve_graceful_sigterm(tmp_path):
+    """cli serve end-to-end in a subprocess: answers requests, then
+    SIGTERM triggers a graceful stop (drain + exit 0)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from PIL import Image
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vision_transformer_detector_tpu.cli",
+         "serve", "--preset", "tiny_96", "--port", "0",
+         "--checkpoint-dir", str(tmp_path / "ckpt"),
+         "--max-batch", "2", "--batch-window-ms", "5"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd="/root/repo")
+    try:
+        line = proc.stdout.readline()           # blocks until ready
+        port = int(json.loads(line)["serving"].rsplit(":", 1)[1])
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=60) as r:
+            assert json.loads(r.read()) == {"ok": True}
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
+            buf, format="JPEG")
+        req = urllib.request.Request(f"{base}/predict",
+                                     data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert "detections" in json.loads(r.read())
+
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0
+        assert '"stopping": true' in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()

@@ -319,6 +319,9 @@ def cmd_serve(args) -> None:
 
 
 def _serve(args, service) -> None:
+    import signal
+    import threading
+
     from .serving import DetectionServer
     server = DetectionServer(service, host=args.host, port=args.port,
                              batching=not args.no_batching,
@@ -328,7 +331,15 @@ def _serve(args, service) -> None:
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "endpoints": ["/healthz", "POST /predict"]}),
           flush=True)
-    server.serve_forever()
+    # Serve on a worker thread so SIGTERM/SIGINT can drive a graceful
+    # stop (shutdown() must not be called from the serving thread).
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop.set())
+    server.start()
+    stop.wait()
+    print(json.dumps({"stopping": True}), flush=True)
+    server.stop()   # drains in-flight batches, then stops the batcher
 
 
 def cmd_export(args) -> None:

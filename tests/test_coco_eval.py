@@ -553,3 +553,47 @@ def test_per_category_breakdown():
     assert per[2] == -1.0         # no ground truth -> undefined
     per50 = ev.evaluate().per_category(iou=0.5)
     assert per50[0] == 1.0
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_randomized_cross_check_with_score_ties(seed):
+    """Duplicate scores exercise the protocol's STABLE descending sort
+    (mergesort in COCOeval): the vectorized evaluator must order tied
+    detections identically to the literal transcription."""
+    rng = np.random.default_rng(seed)
+    images = []
+    ev = CocoEvaluator()
+    score_pool = [0.9, 0.7, 0.7, 0.7, 0.5, 0.5]   # heavy ties
+    for _ in range(4):
+        n_gt = int(rng.integers(1, 5))
+        n_dt = int(rng.integers(2, 7))
+        gts = []
+        for _ in range(n_gt):
+            wh = rng.uniform(4, 60, 2)
+            gts.append({"bbox": [*rng.uniform(0, 200, 2), *wh],
+                        "area": wh[0] * wh[1], "iscrowd": False,
+                        "cat": 0})
+        dets = []
+        for _ in range(n_dt):
+            base = gts[int(rng.integers(0, n_gt))]
+            bbox = np.array(base["bbox"]) + rng.normal(0, 4, 4)
+            bbox[2:] = np.clip(bbox[2:], 1, None)
+            dets.append({"bbox": bbox.tolist(),
+                         "area": bbox[2] * bbox[3],
+                         "score": float(rng.choice(score_pool)),
+                         "cat": 0})
+        images.append({"gts": gts, "dets": dets})
+        ev.add_image(
+            gt_boxes=[g["bbox"] for g in gts],
+            gt_categories=[0] * n_gt,
+            gt_iscrowd=[False] * n_gt,
+            gt_areas=[g["area"] for g in gts],
+            det_boxes=[d["bbox"] for d in dets],
+            det_scores=[d["score"] for d in dets],
+            det_categories=[0] * n_dt)
+    got = ev.evaluate()
+    want_p, want_r = _twin_full(
+        images, [0], IOU_THRESHOLDS, RECALL_THRESHOLDS,
+        list(AREA_RANGES.values()), list(CocoEvaluator().max_dets))
+    np.testing.assert_allclose(got.precision, want_p, atol=1e-12)
+    np.testing.assert_allclose(got.recall, want_r, atol=1e-12)

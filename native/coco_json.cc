@@ -19,6 +19,7 @@
 #include <Python.h>
 
 #include <charconv>
+#include <cmath>
 #include <cstdlib>
 #include <cstring>
 #include <string>
@@ -110,7 +111,11 @@ class Scanner {
     // end_, so the PyBytes null terminator is no longer load-bearing.
     double value = 0.0;
     const auto result = std::from_chars(p_, end_, value);
-    if (result.ec != std::errc() || result.ptr == p_) {
+    if (result.ec == std::errc::result_out_of_range) {
+      // Python's json (and strtod) accept overflowing literals like
+      // 1e400 as +/-inf; keep that behaviour for path parity.
+      value = (*p_ == '-') ? -HUGE_VAL : HUGE_VAL;
+    } else if (result.ec != std::errc() || result.ptr == p_) {
       Fail("expected number");
       return false;
     }

@@ -152,3 +152,16 @@ def test_native_handles_minimal_and_empty():
     assert n == 0
     ids, cats, boxes, n = _native_coco_json.parse_instances(b'{}')
     assert n == 0
+
+
+@needs_native
+def test_native_accepts_overflowing_literals_like_python():
+    # Python's json parses 1e400 as inf; the native parser must not
+    # reject it (std::from_chars reports out-of-range; we clamp to
+    # +/-inf like strtod — code-review round-3 finding).
+    from vision_transformer_detector_tpu._native import _native_coco_json
+
+    doc = (b'{"annotations": [{"image_id": 1, "category_id": 2, '
+           b'"area": 1e400, "bbox": [1.0, 2.0, 3.0, 4.0]}]}')
+    ids, cats, boxes, n = _native_coco_json.parse_instances(doc)
+    assert n == 1

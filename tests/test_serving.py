@@ -344,3 +344,40 @@ def test_cli_serve_graceful_sigterm(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_server_clamps_max_batch_to_export_bundle(tmp_path):
+    """A bundle whose largest graph is smaller than --max-batch must not
+    break warm-up or batched requests (code-review round-3 finding):
+    the server clamps the batcher to the bundle's capacity."""
+    from vision_transformer_detector_tpu.export import save_exported
+    from vision_transformer_detector_tpu.models.vit_detector import (
+        init_params)
+    from vision_transformer_detector_tpu.serving import (
+        ExportedDetectionService)
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    artifact = str(tmp_path / "small_bundle")
+    save_exported(artifact, params, CFG, batch_size=[1, 2])
+    service = ExportedDetectionService(artifact, score_threshold=-1.0)
+
+    server = DetectionServer(service, port=0, max_batch=8,
+                             max_wait_ms=5.0)   # warmup would raise unclamped
+    try:
+        assert server.batcher.max_batch == 2
+        images = np.zeros((3, 64, 64, 3), np.uint8)
+        # 3 concurrent submits -> batches of <=2, all served.
+        import threading
+        results = [None] * 3
+
+        def run(i):
+            results[i] = server.batcher.submit(images[i])
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert all(r is not None for r in results)
+    finally:
+        server.stop()

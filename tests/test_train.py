@@ -376,3 +376,50 @@ def test_bf16_moment_state_dtypes_and_checkpoint(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state["opt_state"]),
                     jax.tree_util.tree_leaves(restored["opt_state"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_nu_stochastic_rounding_escapes_absorption():
+    """nu's per-step change (0.1%) is below bf16's ulp (~0.4%):
+    round-to-nearest freezes it forever, stochastic rounding tracks the
+    target in expectation (code-review round-3 finding)."""
+    import optax
+
+    from vision_transformer_detector_tpu.train.optimizer import (
+        scale_by_adam_compact)
+
+    g = {"w": jnp.full((512,), jnp.sqrt(2.0))}   # g^2 = 2.0
+    results = {}
+    for sr in (False, True):
+        tx = scale_by_adam_compact(stochastic_rounding=sr)
+        state = tx.init({"w": jnp.zeros((512,))})
+        # Seed nu at 1.0: the target shifts to 2.0 but each step only
+        # moves it 0.1% — sub-ulp in bf16.
+        state = optax.ScaleByAdamState(
+            count=state.count, mu=state.mu,
+            nu={"w": jnp.ones((512,), jnp.bfloat16)})
+        step = jax.jit(tx.update)
+        for _ in range(1500):
+            _, state = step(g, state)
+        results[sr] = float(
+            np.asarray(state.nu["w"], np.float32).mean())
+    assert results[False] == 1.0, results      # frozen by absorption
+    # b2=0.999 over 1500 steps: exact fp32 nu would be
+    # 2 - 1*0.999^1500 ~= 1.78; SR must track it closely in the mean.
+    assert 1.6 < results[True] < 2.0, results
+
+
+def test_stochastic_rounding_is_deterministic_per_step():
+    """Counter-based bits: same state + grads -> identical rounded nu
+    (replay/restore safety)."""
+    from vision_transformer_detector_tpu.train.optimizer import (
+        scale_by_adam_compact)
+
+    tx = scale_by_adam_compact()
+    g = {"w": jnp.linspace(0.1, 2.0, 64)}
+    s1 = tx.init({"w": jnp.zeros((64,))})
+    s2 = tx.init({"w": jnp.zeros((64,))})
+    for _ in range(5):
+        _, s1 = tx.update(g, s1)
+        _, s2 = tx.update(g, s2)
+    np.testing.assert_array_equal(np.asarray(s1.nu["w"], np.float32),
+                                  np.asarray(s2.nu["w"], np.float32))

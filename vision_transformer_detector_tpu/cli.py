@@ -136,11 +136,13 @@ def cmd_evaluate(args) -> None:
         from .metrics.coco_eval import (
             evaluate_coco_protocol_original_frame)
 
+        start, end = args.images_range
         summary = evaluate_coco_protocol_original_frame(
             state["params"], args.val_images,
             load_annotations_dict(args.val_annotations), config,
             batch_size=args.batch_size,
-            objectness_threshold=args.objectness_threshold)
+            objectness_threshold=args.objectness_threshold,
+            images_range=(start, end if end >= 0 else None))
         print(json.dumps({"protocol": "coco-original", **summary}))
         return
     data = _build_dataset(args, config, args.val_images,

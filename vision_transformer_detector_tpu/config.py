@@ -187,9 +187,11 @@ class TrainConfig:
     seed: int = 0
     # Adam moment dtypes (None = fp32). "bfloat16" halves optimizer-state
     # HBM traffic; master params stay fp32 so only the update DIRECTION
-    # carries bf16 rounding. nu (second moment) in bf16 additionally
-    # needs the compensated update in train/optimizer.py
-    # (scale_by_adam_compact). Measured A/B: tools/bench_opt_dtypes.py.
+    # carries bf16 rounding. nu (second moment) in bf16 uses
+    # stochastic-rounded writes (train/optimizer.py
+    # scale_by_adam_compact: its 0.1%/step update is below bf16's ulp,
+    # so round-to-nearest would freeze it). Measured A/B:
+    # tools/bench_opt_dtypes.py.
     adam_mu_dtype: str | None = None
     adam_nu_dtype: str | None = None
 

@@ -319,17 +319,20 @@ class CocoEvaluator:
 
         results = []
         base_ignore = gt_iscrowd.copy()
+        # IoUs depend only on the boxes, not the area range — compute the
+        # matrix once and permute columns per range (pycocotools computes
+        # IoUs once per image x category too).
+        ious_full = iou_xywh(det_boxes, gt_boxes, gt_iscrowd)
         for area_range in self.area_ranges.values():
             gt_ignore = base_ignore | (gt_areas < area_range[0]) | (
                 gt_areas > area_range[1])
             # Non-ignored ground truths first (stable), as the matcher
             # requires.
             gt_order = np.argsort(gt_ignore, kind="stable")
-            ious = iou_xywh(det_boxes, gt_boxes[gt_order],
-                            gt_iscrowd[gt_order])
             results.append(_match_image(
-                ious, gt_ignore[gt_order], gt_iscrowd[gt_order],
-                det_scores, det_areas, area_range, self.iou_thresholds))
+                ious_full[:, gt_order], gt_ignore[gt_order],
+                gt_iscrowd[gt_order], det_scores, det_areas, area_range,
+                self.iou_thresholds))
         return results
 
     def _accumulate(self, evals: List[_ImageEval], precision: np.ndarray,

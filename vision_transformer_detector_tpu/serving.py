@@ -247,6 +247,12 @@ class BatchingDetectionService:
         slot = {"image": image, "event": done, "result": None,
                 "error": None, "cancelled": False}
         self._queue.put(slot)
+        # Re-check AFTER the put: a stop() that raced between the check
+        # and the put has already drained the queue, and nothing would
+        # ever complete this slot.
+        if not self._running and not done.is_set():
+            slot["cancelled"] = True
+            raise RuntimeError("BatchingDetectionService is stopped")
         if not done.wait(timeout):
             slot["cancelled"] = True
             raise TimeoutError(
@@ -383,6 +389,11 @@ class DetectionServer:
                  request_timeout: float = 30.0, warmup: bool = True,
                  bucket_mode: str = "pow2"):
         self.service = service
+        # An export bundle's largest graph bounds the feasible batch
+        # (ExportedDetectionService.max_batch_size); a bucket above it
+        # would fail every batched request.
+        max_batch = min(max_batch,
+                        getattr(service, "max_batch_size", max_batch))
         self.batcher: Optional[BatchingDetectionService] = (
             BatchingDetectionService(service, max_batch=max_batch,
                                      max_wait_ms=max_wait_ms,
@@ -437,24 +448,30 @@ class DetectionServer:
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
+        self._serving = False
 
     @property
     def port(self) -> int:
         return self._httpd.server_address[1]
 
     def start(self) -> None:
+        self._serving = True
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
 
     def serve_forever(self) -> None:
+        self._serving = True
         self._httpd.serve_forever()
 
     def stop(self) -> None:
         """Graceful shutdown: stop accepting, finish in-flight handler
         threads (they hold the batcher until served), then stop the
-        batcher."""
-        self._httpd.shutdown()
+        batcher. Safe to call on a never-started server
+        (HTTPServer.shutdown() would block forever waiting for a
+        serve_forever loop that never ran)."""
+        if self._serving:
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)

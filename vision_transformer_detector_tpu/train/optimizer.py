@@ -37,10 +37,33 @@ def make_lr_schedule(config: TrainConfig,
         boundaries_and_scales=boundaries)
 
 
+def _mix_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 finalizer (same mixer as the dropout mask hash)."""
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    return x
+
+
+def _stochastic_round_bf16(x32: jnp.ndarray,
+                           bits: jnp.ndarray) -> jnp.ndarray:
+    """fp32 -> bf16 stochastic rounding: add random low-16 mantissa bits,
+    truncate. Unbiased, so sub-ulp updates accumulate in expectation
+    instead of being absorbed by round-to-nearest."""
+    u = jax.lax.bitcast_convert_type(x32, jnp.uint32)
+    u = u + (bits & jnp.uint32(0xFFFF))
+    u = u & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32).astype(
+        jnp.bfloat16)
+
+
 def scale_by_adam_compact(b1: float = 0.9, b2: float = 0.999,
                           eps: float = 1e-7,
                           mu_dtype=jnp.bfloat16,
-                          nu_dtype=jnp.bfloat16
+                          nu_dtype=jnp.bfloat16,
+                          stochastic_rounding: bool = True
                           ) -> optax.GradientTransformation:
     """Adam whose moment STATE is stored in reduced precision.
 
@@ -48,7 +71,19 @@ def scale_by_adam_compact(b1: float = 0.9, b2: float = 0.999,
     write), so only the round-to-storage differs from optax.adam — the
     state reads/writes that dominate the optimizer's HBM traffic are
     halved. Master params remain fp32 in the update chain.
+
+    The second moment needs more than plain rounding: its per-step
+    change is ``(1-b2) = 0.1%``, below bf16's ~0.4% ulp, so
+    round-to-nearest ABSORBS the update and nu freezes at a stale value
+    whenever the gradient scale shifts by less than ~4x per step. bf16
+    nu writes therefore use counter-based stochastic rounding (unbiased;
+    deterministic given the step count, so replays/restores agree). The
+    first moment's per-step change is ``(1-b1) = 10%`` — far above ulp —
+    and keeps low-variance round-to-nearest.
     """
+    sr_nu = (stochastic_rounding
+             and jnp.dtype(nu_dtype) == jnp.dtype(jnp.bfloat16))
+
     def init(params):
         return optax.ScaleByAdamState(
             count=jnp.zeros((), jnp.int32),
@@ -75,12 +110,28 @@ def scale_by_adam_compact(b1: float = 0.9, b2: float = 0.999,
         nu32 = jax.tree_util.tree_map(_nu, state.nu, grads)
         updates = jax.tree_util.tree_map(
             lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu32, nu32)
+
+        if sr_nu:
+            count_u = count.astype(jnp.uint32)
+            flat, treedef = jax.tree_util.tree_flatten(nu32)
+            rounded = []
+            for i, leaf in enumerate(flat):
+                idx = jnp.arange(leaf.size, dtype=jnp.uint32).reshape(
+                    leaf.shape)
+                bits = _mix_u32(count_u * jnp.uint32(0x9E3779B1)
+                                + jnp.uint32((i * 0x85EBCA6B)
+                                             & 0xFFFFFFFF)
+                                + idx * jnp.uint32(0xC2B2AE35))
+                rounded.append(_stochastic_round_bf16(leaf, bits))
+            nu_state = jax.tree_util.tree_unflatten(treedef, rounded)
+        else:
+            nu_state = jax.tree_util.tree_map(
+                lambda v: v.astype(nu_dtype), nu32)
         new_state = optax.ScaleByAdamState(
             count=count,
             mu=jax.tree_util.tree_map(
                 lambda m: m.astype(mu_dtype), mu32),
-            nu=jax.tree_util.tree_map(
-                lambda v: v.astype(nu_dtype), nu32))
+            nu=nu_state)
         return updates, new_state
 
     return optax.GradientTransformation(init, update)

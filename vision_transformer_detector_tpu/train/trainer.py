@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import logging
 import os
 import time
 from typing import Any, Dict, Iterable, Optional, Tuple
@@ -386,8 +387,10 @@ class Trainer:
                 restored = self.restore(state, name=name)
             except Exception as exc:  # partial/corrupt write — try older
                 last_error = exc
-                print(f"restore_latest: checkpoint {name!r} unreadable "
-                      f"({exc}); trying an older one.")
+                # logger, not print: CLI consumers parse stdout as JSON.
+                logging.getLogger(__name__).warning(
+                    "restore_latest: checkpoint %r unreadable (%s); "
+                    "trying an older one.", name, exc)
                 continue
             return restored
         raise last_error  # every candidate (incl. "ongoing") failed

@@ -54,6 +54,9 @@ def main() -> None:
     parser.add_argument("--eval-every", type=int, default=500)
     parser.add_argument("--warm-up", type=int, default=500)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--bf16-moments", action="store_true",
+                        help="bf16 Adam moment state (stochastic-rounded "
+                             "nu; train/optimizer.py)")
     parser.add_argument("--metrics", default="overfit_metrics.jsonl")
     args = parser.parse_args()
 
@@ -72,9 +75,11 @@ def main() -> None:
     # The reference's measured loss hyperparameters (ipynb cell 7).
     loss_config = LossConfig(coefficient=9.0, exponent=2.0,
                              weight_classification=0.0074, weight_ciou=4.5)
+    moments = "bfloat16" if args.bf16_moments else None
     train_config = TrainConfig(
         learning_rate=args.learning_rate, epochs=args.epochs,
-        epochs_warm_up=args.warm_up, skip_epochs=args.eval_every)
+        epochs_warm_up=args.warm_up, skip_epochs=args.eval_every,
+        adam_mu_dtype=moments, adam_nu_dtype=moments)
 
     trainer = Trainer(config, loss_config, train_config,
                       metrics_path=args.metrics)

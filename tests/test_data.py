@@ -284,3 +284,117 @@ def test_resumable_dataset_rejects_wrong_seed(tmp_path):
     ds = _resumable_fixture(tmp_path)
     with pytest.raises(ValueError, match="seed"):
         ds.set_state({"epoch": 0, "batch": 1, "seed": 99})
+
+
+def _paths_and_annotations(tmp_path, n=9, size=32):
+    from PIL import Image
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"{i:012d}.jpg"
+        Image.fromarray(
+            np.full((size, size, 3), (i * 20 + 5) % 255, np.uint8)).save(p)
+        paths.append(str(p))
+    annotations = {str(i): [[1, 16.0, 16.0, 8.0, 8.0, 64.0]]
+                   for i in range(n)}
+    return paths, annotations, DetectorConfig(image_size=(size, size))
+
+
+def test_abandoned_iteration_does_not_leak_producer(tmp_path):
+    """Breaking out of iteration must stop the prefetch producer thread
+    (round-3 review: the bounded q.put deadlocked forever)."""
+    import threading
+    import time
+
+    from vision_transformer_detector_tpu.data.pipeline import (
+        CocoDetectionDataset)
+
+    paths, annotations, cfg = _paths_and_annotations(tmp_path)
+    before = threading.active_count()
+    ds = CocoDetectionDataset(paths, annotations, cfg, batch_size=1,
+                              prefetch=1)
+    for _ in zip(range(1), ds):   # abandon after one batch
+        pass
+    deadline = time.monotonic() + 10
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1
+
+
+def test_image_id_fallback_and_hidden_files(tmp_path):
+    from PIL import Image
+
+    from vision_transformer_detector_tpu.data.pipeline import (
+        image_id_from_path, list_image_paths)
+
+    assert image_id_from_path("/x/000000000139.jpg") == "139"
+    assert image_id_from_path("/x/img_001.jpg") == "img_001"
+
+    Image.new("RGB", (8, 8)).save(tmp_path / "000000000001.jpg")
+    (tmp_path / "._000000000001.jpg").write_bytes(b"\x00\x05junk")
+    (tmp_path / ".hidden.jpg").write_bytes(b"junk")
+    paths = list_image_paths(str(tmp_path))
+    assert len(paths) == 1 and paths[0].endswith("000000000001.jpg")
+
+
+def test_resumable_sharding_is_stable_across_resume(tmp_path):
+    """Shards partition the FULL epoch order; resuming mid-epoch must not
+    change which examples belong to this shard (round-3 review)."""
+    from vision_transformer_detector_tpu.data.pipeline import (
+        ResumableDataset)
+
+    paths, annotations, cfg = _paths_and_annotations(tmp_path, n=10)
+
+    def make():
+        return ResumableDataset(paths, annotations, cfg, batch_size=1,
+                                shuffle=True, seed=3, shard_index=1,
+                                num_shards=2)
+
+    def collect(it, limit=None):
+        out = []
+        for images, labels in it:
+            out.append(float(np.asarray(images).sum()))
+            if limit and len(out) >= limit:
+                break
+        return out
+
+    full = make()
+    assert len(full) == len(paths[1::2])
+    uninterrupted = collect(iter(full))
+    assert len(uninterrupted) == len(paths[1::2])
+
+    resumed = make()
+    first = collect(iter(resumed), limit=2)
+    state = resumed.get_state()
+    fresh = make()
+    fresh.set_state(state)
+    rest = collect(iter(fresh))
+    assert first + rest == uninterrupted
+
+
+def test_trainer_prefetch_snapshots_resume_state(tmp_path):
+    """Trainer._device_prefetch pulls one batch ahead; the checkpointable
+    dataset state it exposes must lag to the batch the consumer actually
+    holds (round-3 review: naive get_state() skipped a batch)."""
+    from vision_transformer_detector_tpu.config import (LossConfig,
+                                                        TrainConfig)
+    from vision_transformer_detector_tpu.data.pipeline import (
+        ResumableDataset)
+    from vision_transformer_detector_tpu.train.trainer import Trainer
+
+    paths, annotations, cfg_img = _paths_and_annotations(tmp_path, n=6)
+    tiny = DetectorConfig(image_size=(32, 32), embedding_dim=8,
+                          num_heads=2, key_dim=4, encoder_blocks=1,
+                          encoder_mlp_layers=2, head_last_units=8,
+                          head_layers=1)
+    ds = ResumableDataset(paths, annotations, tiny, batch_size=1,
+                          shuffle=False, seed=0)
+    trainer = Trainer(tiny, LossConfig(), TrainConfig())
+    seen = 0
+    for images, labels in trainer._device_prefetch(ds):
+        seen += 1
+        # state-for-resume must point at the NEXT batch to train
+        # (= seen), even though the dataset already produced seen+1.
+        assert trainer.dataset_resume_state["batch"] == seen
+        if seen == 3:
+            break
+    assert ds.get_state()["batch"] == 4   # one ahead, as documented

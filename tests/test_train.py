@@ -160,20 +160,25 @@ def test_async_checkpointing_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_check_weights_cadence(tmp_path, capsys):
+def test_check_weights_cadence(tmp_path, caplog):
     """The CheckModelWeight twin (vtd.py:650-687): on the configured
     cadence the params are scanned, extrema land in the metrics record,
-    and new watermarks are reported."""
+    and new watermarks are reported (via logging, not stdout — CLI
+    consumers parse stdout as JSON)."""
     import json as _json
+    import logging
 
     metrics = str(tmp_path / "m.jsonl")
     trainer = Trainer(TINY, LOSS, TC, metrics_path=metrics,
                       check_weights_every=2, check_weights_start=1,
                       weight_threshold=0.0)
     state = trainer.init_state()
-    trainer.fit(state, [_batch()], epochs=4)
-    out = capsys.readouterr().out
-    assert "Largest_weight changed to:" in out
+    with caplog.at_level(logging.INFO,
+                         logger="vision_transformer_detector_tpu.train"
+                                ".trainer"):
+        trainer.fit(state, [_batch()], epochs=4)
+    assert any("Largest_weight changed to:" in r.message
+               for r in caplog.records)
     with open(metrics) as f:
         records = [_json.loads(line) for line in f]
     checked = [r for r in records if "max_weight" in r]

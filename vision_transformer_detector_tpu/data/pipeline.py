@@ -49,6 +49,8 @@ def list_image_paths(image_dir: str,
     paths: List[str] = []
     for root, _, names in os.walk(image_dir):
         for name in sorted(names):
+            if name.startswith("."):
+                continue  # hidden / AppleDouble ("._x.jpg") junk files
             if name.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
                 paths.append(os.path.join(root, name))
     if shuffle:
@@ -61,9 +63,17 @@ def list_image_paths(image_dir: str,
 
 
 def image_id_from_path(path: str) -> str:
-    """'000000000139.jpg' -> '139' (vtu.py:297-303)."""
+    """'000000000139.jpg' -> '139' (vtu.py:297-303).
+
+    Non-COCO-named files ('img_001.jpg') fall back to the raw stem
+    instead of raising mid-iteration: they simply miss the annotation
+    lookup and get an empty label tensor, like any unannotated image.
+    """
     stem = os.path.splitext(os.path.basename(path))[0]
-    return str(int(stem))
+    try:
+        return str(int(stem))
+    except ValueError:
+        return stem
 
 
 def load_and_letterbox_image(path: str, config: DetectorConfig,
@@ -175,29 +185,56 @@ class CocoDetectionDataset:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Iterate with a background prefetch thread (bounded queue), the
-        host-side half of the host+device prefetch pipeline."""
+        host-side half of the host+device prefetch pipeline.
+
+        Abandoning the iterator early (break / exception / zip) must not
+        leak the producer: the bounded q.put would block forever with no
+        consumer, pinning the thread, its worker pool, and the buffered
+        batches (round-3 review finding) — so every put is stoppable and
+        the generator's close path signals + drains.
+        """
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         error: List[BaseException] = []
+
+        def stoppable_put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    if not stoppable_put(batch):
+                        return
             except BaseException as exc:  # surfaced on the consumer side
                 error.append(exc)
             finally:
-                q.put(sentinel)
+                stoppable_put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+            while True:   # unblock a producer mid-put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=5)
 
 
 class ResumableDataset:
@@ -248,14 +285,27 @@ class ResumableDataset:
 
     # -- iteration ---------------------------------------------------------
     def _epoch_paths(self, epoch: int) -> List[str]:
+        """This host's share of the epoch's deterministic order.
+
+        Sharding (shard_index/num_shards kwargs) is applied to the FULL
+        shuffled epoch — never to a resume-sliced remainder, which would
+        silently change shard membership after a restart (round-3
+        review finding). The per-batch resume slice then indexes into
+        this host's stable sequence.
+        """
         paths = list(self.image_paths)
         if self.shuffle:
             rng = np.random.default_rng([self.seed, epoch])
             rng.shuffle(paths)
-        return paths
+        shard = self.dataset_kwargs.get("shard_index", 0)
+        num = self.dataset_kwargs.get("num_shards", 1)
+        return paths[shard::num]
 
     def __len__(self) -> int:
-        return len(self.image_paths) // self.batch_size
+        shard = self.dataset_kwargs.get("shard_index", 0)
+        num = self.dataset_kwargs.get("num_shards", 1)
+        per_shard = len(range(shard, len(self.image_paths), num))
+        return per_shard // self.batch_size
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         if self.batch >= len(self):  # checkpointed exactly at epoch end
@@ -263,13 +313,20 @@ class ResumableDataset:
             self.batch = 0
         paths = self._epoch_paths(self.epoch)
         remaining = paths[self.batch * self.batch_size:]
+        inner_kwargs = {k: v for k, v in self.dataset_kwargs.items()
+                        if k not in ("shard_index", "num_shards")}
         dataset = CocoDetectionDataset(
             remaining, self.annotations, self.config,
             batch_size=self.batch_size, drop_remainder=True,
-            **self.dataset_kwargs)
+            **inner_kwargs)
         for batch in dataset:
             # Increment BEFORE yielding: get_state() taken while the
             # consumer holds this batch already counts it as consumed.
+            # CAUTION: any prefetch wrapper that pulls ahead of the
+            # consumer advances this counter past the consumed batch;
+            # checkpoint the state BEFORE wrapping, or account for the
+            # wrapper's lookahead (Trainer._device_prefetch pulls ONE
+            # ahead).
             self.batch += 1
             yield batch
         self.epoch += 1

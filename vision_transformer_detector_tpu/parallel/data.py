@@ -24,6 +24,13 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None) -> None:
     """Multi-host bring-up: jax.distributed.initialize with explicit args
     or TPU-pod auto-detection. Call once per process before device use."""
+    if coordinator_address is None and (num_processes is not None
+                                        or process_id is not None):
+        raise ValueError(
+            "num_processes/process_id were given without "
+            "coordinator_address; partial explicit configuration would "
+            "be silently ignored and auto-detection could pick a "
+            "different topology")
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,

@@ -128,9 +128,14 @@ def evaluate_map(params, dataset: Iterable, config: DetectorConfig,
     if metric is None:
         metric = MeanAveragePrecision(config)
     metric.reset_state()
+    host_metric = isinstance(metric, MeanAveragePrecision)
     for images, labels in dataset:
         decoded = eval_step(params, jnp.asarray(images))
-        metric.update_state(labels, np.asarray(decoded),
+        # Only the host oracle needs the device->host copy; the jitted
+        # metric consumes the device array directly (forcing np.asarray
+        # re-added the round-trip it exists to eliminate).
+        metric.update_state(labels,
+                            np.asarray(decoded) if host_metric else decoded,
                             use_transform_predictions=False)
     return float(metric.result())
 
@@ -210,6 +215,10 @@ class Trainer:
         self.best_ap = 0.0
         self.ap_record = []
         self.loss_record = []
+        # Resume-correct ResumableDataset state for the batch the trainer
+        # last consumed (maintained by _device_prefetch; None until a
+        # stateful dataset streams through fit()).
+        self.dataset_resume_state = None
 
     # ------------------------------------------------------------------
     def init_state(self, seed: Optional[int] = None) -> TrainState:
@@ -238,17 +247,40 @@ class Trainer:
     def _device_prefetch(self, iterator):
         """Yield device-resident batches one step ahead: the async
         device_put of batch i+1 overlaps the train step on batch i (the
-        device half of the host+device prefetch pipeline)."""
+        device half of the host+device prefetch pipeline).
+
+        The one-batch lookahead advances a ResumableDataset's counter
+        past the batch the consumer is actually on; this wrapper snapshots
+        the dataset state AS OF each yielded batch into
+        ``self.dataset_resume_state`` so checkpointing resumes without
+        skipping the prefetched-but-untrained batch (round-3 review
+        finding)."""
+        get_state = getattr(iterator, "get_state", None)
         previous = None
         for batch in iterator:
-            current = self._put_batch(*batch)
+            state_now = get_state() if callable(get_state) else None
+            current = (self._put_batch(*batch), state_now)
             if previous is not None:
-                yield previous
+                batch_dev, snapshot = previous
+                if snapshot is not None:
+                    self.dataset_resume_state = snapshot
+                yield batch_dev
             previous = current
         if previous is not None:
-            yield previous
+            batch_dev, snapshot = previous
+            if snapshot is not None:
+                self.dataset_resume_state = snapshot
+            yield batch_dev
 
     def _put_batch(self, images, labels):
+        if self.mesh is not None and jax.process_count() > 1:
+            # Multi-host: each process holds only its local shard; a
+            # plain device_put against a sharding with non-addressable
+            # devices raises. The parallel.data helper assembles the
+            # global array from per-process locals.
+            from ..parallel.data import global_batch_from_local
+            return (global_batch_from_local(self.mesh, np.asarray(images)),
+                    global_batch_from_local(self.mesh, np.asarray(labels)))
         images = jnp.asarray(images)
         labels = jnp.asarray(labels)
         if self.mesh is not None:
@@ -323,10 +355,17 @@ class Trainer:
                     self.best_ap = ap
                     if self.checkpoint_dir:
                         self.save(state, name="highest_ap")
-                if self.checkpoint_dir:
-                    self.save(state, name="ongoing")
-                    if self.keep_checkpoints:
-                        self.save_rolling(state)
+
+            # Crash-resumability must not depend on eval being configured
+            # or on the warm-up having passed: the periodic "ongoing" /
+            # rolling checkpoints run on their own cadence from epoch 0
+            # (a run that dies at epoch 499 used to leave an EMPTY
+            # checkpoint dir — round-3 review finding).
+            if self.checkpoint_dir and (
+                    epoch % tc.skip_epochs == 0 or epoch == epochs - 1):
+                self.save(state, name="ongoing")
+                if self.keep_checkpoints:
+                    self.save_rolling(state)
 
             self.metrics.write(**record)
         if self._async_ckpt is not None:
@@ -401,14 +440,15 @@ class Trainer:
         from ..utils.debugging import param_extrema
 
         minima, maxima = param_extrema(params)
+        logger = logging.getLogger(__name__)
         if maxima > self._weight_watermarks[1]:
             self._weight_watermarks[1] = maxima
-            print(f"\nLargest_weight changed to: {maxima:.3f}, "
-                  f"at epoch {epoch}.")
+            logger.info("Largest_weight changed to: %.3f, at epoch %d.",
+                        maxima, epoch)
         elif minima < self._weight_watermarks[0]:
             self._weight_watermarks[0] = minima
-            print(f"\nSmallest_weight changed to: {minima:.3f}, "
-                  f"at epoch {epoch}.")
+            logger.info("Smallest_weight changed to: %.3f, at epoch %d.",
+                        minima, epoch)
         return {"min_weight": minima, "max_weight": maxima}
 
     def wait_for_checkpoints(self) -> None:

@@ -65,6 +65,15 @@ Decoded DecodeJpeg(const unsigned char* data, size_t size) {
 
   out.oh = static_cast<int>(cinfo.output_height);
   out.ow = static_cast<int>(cinfo.output_width);
+  // Sanity-cap the decoded size BEFORE allocating: a corrupt/adversarial
+  // header can declare 65500x65500 (~12.8 GB RGB) and the resulting
+  // bad_alloc would escape worker threads into std::terminate.
+  if (static_cast<size_t>(out.oh) * out.ow > (1u << 27)) {
+    out.error = "image dimensions too large (" + std::to_string(out.ow)
+        + "x" + std::to_string(out.oh) + ")";
+    jpeg_destroy_decompress(&cinfo);
+    return out;
+  }
   out.rgb.resize(static_cast<size_t>(out.oh) * out.ow * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* row = out.rgb.data()
@@ -156,10 +165,14 @@ Decoded DecodeLetterbox(const unsigned char* data, size_t size,
 
   const int oh = decoded.oh;
   const int ow = decoded.ow;
-  const float scale = std::max(static_cast<float>(oh) / th,
-                               static_cast<float>(ow) / tw);
-  const int rh = std::max(1, static_cast<int>(std::lround(oh / scale)));
-  const int rw = std::max(1, static_cast<int>(std::lround(ow / scale)));
+  // Double math + ties-to-even (nearbyint under the default rounding
+  // mode), matching Python's round() in the PIL fallback — lround's
+  // half-away-from-zero placed the resize 1px off at exact .5 sizes,
+  // skewing native-vs-PIL hosts against each other.
+  const double scale = std::max(static_cast<double>(oh) / th,
+                                static_cast<double>(ow) / tw);
+  const int rh = std::max(1, static_cast<int>(std::nearbyint(oh / scale)));
+  const int rw = std::max(1, static_cast<int>(std::nearbyint(ow / scale)));
 
   std::vector<unsigned char> resized(static_cast<size_t>(rh) * rw * 3);
   ResizeBilinear(decoded.rgb.data(), oh, ow, resized.data(), rh, rw);
@@ -178,6 +191,24 @@ Decoded DecodeLetterbox(const unsigned char* data, size_t size,
                 static_cast<size_t>(rw) * 3);
   }
   return out;
+}
+
+// noexcept wrapper: a std::bad_alloc (or any exception) escaping a
+// worker thread or a Py_BEGIN_ALLOW_THREADS region calls std::terminate;
+// convert it into the same error-Decoded path as libjpeg failures.
+Decoded DecodeLetterboxSafe(const unsigned char* data, size_t size,
+                            int th, int tw) noexcept {
+  try {
+    return DecodeLetterbox(data, size, th, tw);
+  } catch (const std::exception& e) {
+    Decoded d;
+    d.error = e.what();
+    return d;
+  } catch (...) {
+    Decoded d;
+    d.error = "unknown native decode failure";
+    return d;
+  }
 }
 
 PyObject* MakeResult(const Decoded& d, int th, int tw) {
@@ -206,7 +237,7 @@ PyObject* PyDecodeLetterbox(PyObject*, PyObject* args) {
   }
   Decoded result;
   Py_BEGIN_ALLOW_THREADS
-  result = DecodeLetterbox(
+  result = DecodeLetterboxSafe(
       static_cast<const unsigned char*>(buffer.buf),
       static_cast<size_t>(buffer.len), th, tw);
   Py_END_ALLOW_THREADS
@@ -254,7 +285,7 @@ PyObject* PyDecodeLetterboxBatch(PyObject*, PyObject* args) {
         while (true) {
           const Py_ssize_t i = next.fetch_add(1);
           if (i >= n) break;
-          results[i] = DecodeLetterbox(
+          results[i] = DecodeLetterboxSafe(
               reinterpret_cast<const unsigned char*>(inputs[i].data()),
               inputs[i].size(), th, tw);
         }

@@ -306,13 +306,7 @@ def labels_from_annotations(
 
     # rows columns: [coco_id, cx, cy, h, w] -> boxes in cxcyhw order.
     boxes = np.stack([rows[:, 1], rows[:, 2], rows[:, 3], rows[:, 4]], axis=1)
-    # letterbox_boxes expects cxcyhw with (h, w) scaled too; scale all four
-    # then offset only the centers (vtu.py:357-368).
-    scale, blank_h, blank_w = letterbox_params(
-        original_size, config.image_size)
-    boxes = boxes / np.float32(scale)
-    boxes[:, 0] += np.float32(blank_w)
-    boxes[:, 1] += np.float32(blank_h)
+    boxes = letterbox_boxes(boxes, original_size, config.image_size)
 
     n = min(len(boxes), config.max_objects)
     labels[:n, 0] = 1.0

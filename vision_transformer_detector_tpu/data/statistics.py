@@ -95,9 +95,14 @@ def coco_statistics_multi_processing(
               for i in range(0, len(image_names), group_size)]
     if len(groups) <= 1:
         return coco_statistics(image_names, annotations_dict)
+    # Ship each worker only ITS group's annotation rows: pickling the
+    # full dict per group (860k rows on COCO-train) made IPC dominate
+    # and could erase the multiprocessing win entirely.
+    subsets = [{name: annotations_dict[name]
+                for name in group if name in annotations_dict}
+               for group in groups]
     with ProcessPoolExecutor(max_workers=max_workers) as pool:
-        results = list(pool.map(
-            worker, groups, [annotations_dict] * len(groups)))
+        results = list(pool.map(worker, groups, subsets))
     return summarize(*_merge(results))
 
 

@@ -72,14 +72,6 @@ def save_exported(directory: str, params, config: DetectorConfig,
     from .utils.checkpoint import save_params_npz
 
     os.makedirs(directory, exist_ok=True)
-    # Re-exporting into a reused directory must not leave stale graphs
-    # behind (the loader merges every model*.stablehlo it finds, so an old
-    # model_b64 from a previous export would still receive requests —
-    # ADVICE round 2). Clear them before writing the new set.
-    for entry in os.listdir(directory):
-        if entry == _MODEL_FILE or (entry.startswith("model_b")
-                                    and entry.endswith(".stablehlo")):
-            os.remove(os.path.join(directory, entry))
     if isinstance(batch_size, int):
         sizes = [batch_size]
         names = [_MODEL_FILE]
@@ -88,10 +80,24 @@ def save_exported(directory: str, params, config: DetectorConfig,
         if not sizes:
             raise ValueError("batch_size sequence is empty")
         names = [_MODEL_FILE_TMPL.format(batch=b) for b in sizes]
-    for size, name in zip(sizes, names):
+    # Export EVERY graph to temp names first, then swap: deleting the old
+    # graphs before the new exports succeed left a live artifact dir
+    # broken if an export failed mid-bundle (round-3 review finding).
+    tmp_names = [name + ".tmp" for name in names]
+    for size, tmp in zip(sizes, tmp_names):
         blob = export_inference(params, config, size, platforms)
-        with open(os.path.join(directory, name), "wb") as f:
+        with open(os.path.join(directory, tmp), "wb") as f:
             f.write(blob)
+    # All new graphs written — now clear stale graphs (the loader merges
+    # every model*.stablehlo it finds; an old model_b64 from a previous
+    # export would still receive requests — ADVICE round 2) and rename.
+    for entry in os.listdir(directory):
+        if entry == _MODEL_FILE or (entry.startswith("model_b")
+                                    and entry.endswith(".stablehlo")):
+            os.remove(os.path.join(directory, entry))
+    for name, tmp in zip(names, tmp_names):
+        os.replace(os.path.join(directory, tmp),
+                   os.path.join(directory, name))
     save_params_npz(os.path.join(directory, _PARAMS_FILE), params)
     with open(os.path.join(directory, _CONFIG_FILE), "w") as f:
         json.dump(configs_to_dict(config), f, indent=1)
@@ -142,7 +148,13 @@ class ExportedDetector:
         return max(self._exported)
 
     def __call__(self, images) -> jnp.ndarray:
-        images = jnp.asarray(images, jnp.float32)
+        images = jnp.asarray(images)
+        if images.dtype == jnp.uint8:
+            # Same [-1,1] normalization every other inference path
+            # applies to uint8 (Detector/DetectionService); a silent
+            # 0..255 float cast fed the graph ~127x-out-of-range inputs.
+            images = images.astype(jnp.float32) / 127.5 - 1.0
+        images = images.astype(jnp.float32)
         request = images.shape[0]
         fits = [b for b in sorted(self._exported) if b >= request]
         if not fits:

@@ -305,9 +305,12 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
     # and the int8 serving layers expect tokens-major inputs; narrow
     # (non-64-multiple) head dims measure FASTER tokens-major in training
     # (config.attention_heads_major documents the measurements).
+    # The auto rule reads the PHYSICAL head dim: pad_attention_key_dim'd
+    # weights (40 -> 64) should take the heads-major fast path the
+    # padding exists to enable, not the config's nominal 40.
     heads_major_ok = (config.attention_heads_major
                       if config.attention_heads_major is not None
-                      else config.key_dim % 64 == 0)
+                      else k % 64 == 0)
     legacy_layout = ((config.ring_attention and mesh is not None)
                      or "kernel_q" in mha["query"]
                      or (window is not None and not window_major)

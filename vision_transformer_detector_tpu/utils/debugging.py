@@ -53,10 +53,13 @@ def check_inf_nan(inputs, name: str, max_value: float = 50_000.0,
 
 def debug_check(x: jnp.ndarray, name: str) -> jnp.ndarray:
     """Jit-safe inf/NaN reporter: prints from inside compiled code via
-    jax.debug.print when anything non-finite shows up."""
+    jax.debug.print ONLY when something non-finite shows up (an
+    unconditional print would spam every train step)."""
     bad = jnp.logical_not(jnp.all(jnp.isfinite(x)))
-    jax.debug.print(
-        "non-finite values in " + name + ": {bad}", bad=bad)
+    jax.lax.cond(
+        bad,
+        lambda: jax.debug.print("non-finite values in " + name),
+        lambda: None)
     return x
 
 

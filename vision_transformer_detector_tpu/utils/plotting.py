@@ -83,7 +83,7 @@ def _svg_chart(scatters_inputs, titles, file_name):
             continue
         x = list(map(float, x))
         y = list(map(float, y))
-        x0, x1 = min(x), max(x) or 1.0
+        x0, x1 = min(x), max(x)   # zero-span handled by span_x below
         y0, y1 = min(y), max(y)
         span_x = (x1 - x0) or 1.0
         span_y = (y1 - y0) or 1.0

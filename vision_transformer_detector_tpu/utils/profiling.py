@@ -72,8 +72,18 @@ def flops_estimate(config: DetectorConfig, batch_size: int = 1) -> float:
         in_dim = units
     flops += config.encoder_blocks * per_block
 
-    flops += 2.0 * tokens * d * config.max_objects  # token dense
-    in_dim = config.num_patches
+    if config.head_scales == (1,):
+        flops += 2.0 * tokens * d * config.max_objects  # token dense
+        in_dim = config.num_patches
+    else:
+        # Multi-scale head (models/vit_detector.py): one token-dense per
+        # pooled grid; the per-slot feature concatenates over scales.
+        gh, gw = config.grid_size
+        in_dim = 0
+        for s in config.head_scales:
+            pooled = (gh // s) * (gw // s)
+            flops += 2.0 * pooled * d * config.max_objects
+            in_dim += pooled
     for units in config.head_units:
         for _ in range(config.head_block_repeats):
             flops += 2.0 * config.max_objects * in_dim * units

@@ -81,10 +81,27 @@ def _match(weights: Dict[str, np.ndarray], *needles: str):
 
 
 def convert(weights: Dict[str, np.ndarray], config) -> dict:
-    """Rename reference weights into our parameter pytree."""
+    """Rename reference weights into our parameter pytree.
+
+    Supports the legacy Keras-2 HDF5 naming ('<layer>/kernel:0', the
+    format TF 2.9 — the reference's pinned version (README.md:2-4) —
+    writes). Keras 3's .keras archives use anonymous 'layers/<i>/vars/<j>'
+    paths instead; detect that early with an actionable error rather
+    than failing needle-by-needle (the reference cannot produce such an
+    archive, and no genuine one exists in this environment to validate a
+    speculative mapping against).
+    """
     from vision_transformer_detector_tpu.models.vit_detector import (
         init_params)
     import jax
+
+    if weights and not any("kernel" in k for k in weights):
+        sample = sorted(weights)[:5]
+        raise ValueError(
+            "no 'kernel' datasets found — this looks like a Keras 3 "
+            "'layers/<i>/vars/<j>' archive, not the Keras 2 (TF 2.9) "
+            "naming this converter supports; re-save the checkpoint "
+            f"with TF 2.9 model.save_weights. Sample paths: {sample}")
 
     template = init_params(jax.random.PRNGKey(0), config)
 

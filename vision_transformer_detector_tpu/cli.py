@@ -210,15 +210,20 @@ def cmd_visualize(args) -> None:
     start, end = args.images_range
     paths = list_image_paths(args.images,
                              images_range=(start, end if end >= 0 else None))
-    images = np.stack([
-        load_and_letterbox_image(p, config)[0] for p in paths])
-    raw = np.asarray(predict_step(state["params"], images))
-    written = visualize_predictions(
-        images, raw, args.output_dir,
-        objectness_threshold=args.objectness_threshold,
-        classification_threshold=args.classification_threshold,
-        config=config)
-    print(json.dumps({"written": list(written)}))
+    # Chunk like cmd_predict: stacking thousands of 608px images into
+    # one array (and one giant-batch compile) OOMs the host/device.
+    written: list = []
+    for i in range(0, len(paths), args.batch_size):
+        chunk = paths[i:i + args.batch_size]
+        images = np.stack([
+            load_and_letterbox_image(p, config)[0] for p in chunk])
+        raw = np.asarray(predict_step(state["params"], images))
+        written.extend(visualize_predictions(
+            images, raw, args.output_dir,
+            objectness_threshold=args.objectness_threshold,
+            classification_threshold=args.classification_threshold,
+            config=config, start_index=i))
+    print(json.dumps({"written": written}))
 
 
 def _parse_sweep_value(text: str):
@@ -255,7 +260,12 @@ def cmd_sweep(args) -> None:
             return data, data
     else:
         def make_data(cfg, tc):
+            # Datasets must follow the SWEPT train config: a
+            # batch_size=8,32 sweep that built both datasets from the
+            # base CLI batch size trained identical batches under
+            # different labels (round-3 review finding).
             batch_args = argparse.Namespace(**vars(args))
+            batch_args.batch_size = tc.batch_size
             train_data = _build_dataset(
                 batch_args, cfg, args.train_images, args.train_annotations,
                 shuffle=args.shuffle)
@@ -267,7 +277,11 @@ def cmd_sweep(args) -> None:
 
     records = run_sweep(
         grid, make_data, base_config=config, base_train_config=train_config,
-        epochs=args.epochs, out_dir=args.out_dir, mesh=_maybe_mesh(args))
+        # When 'epochs' is itself a swept axis, the per-point
+        # TrainConfig.epochs must win (a fixed epochs=args.epochs
+        # silently overrode the sweep — review finding).
+        epochs=None if "epochs" in grid else args.epochs,
+        out_dir=args.out_dir, mesh=_maybe_mesh(args))
     print(format_records(records))
     print(json.dumps({"records": len(records),
                       "out_dir": args.out_dir,

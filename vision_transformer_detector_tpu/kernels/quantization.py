@@ -214,7 +214,9 @@ def fused_int8_dense(x: jnp.ndarray, layer: dict,
     # layers load W once while x tiles stream past it (an earlier version
     # streamed W per M tile — gigabytes of re-reads at batch 128).
     budget_n = max(128, ((4 << 20) // max(k_pad, 1)) // 128 * 128)
-    block_n = min(_round_up(n, 128), min(2048, budget_n))
+    # Honor the caller's block_n as a CAP on the auto-computed tile
+    # (it was silently overwritten — review finding).
+    block_n = min(_round_up(n, 128), min(2048, budget_n), block_n)
     n_pad = _round_up(n, block_n)
 
     xf = jnp.pad(x.reshape(m, k).astype(jnp.bfloat16),

@@ -88,7 +88,7 @@ def _nms_single(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iou_threshold", "score_threshold", "per_class"))
+    static_argnames=("per_class",))
 def non_max_suppression(boxes: jnp.ndarray, scores: jnp.ndarray,
                         class_ids: jnp.ndarray,
                         iou_threshold: float = 0.5,
@@ -111,7 +111,7 @@ def non_max_suppression(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "iou_threshold", "score_threshold", "per_class"))
+    static_argnames=("k", "per_class"))
 def postprocess_detections(decoded: jnp.ndarray, k: int = 17,
                            iou_threshold: float = 0.5,
                            score_threshold: float = 0.0,

@@ -118,9 +118,7 @@ def run_sweep(
             "hours": round(hours, 4),
             "metrics_path": metrics_path,
         })
-        records.append(record)
-        with open(records_path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+        trainer.metrics.close()   # one open fd per grid point otherwise
 
         if plot:
             try:
@@ -130,6 +128,12 @@ def run_sweep(
                     os.path.join(run_dir, "loss-AP-scatters.html"))
             except Exception:  # plotting never fails a sweep
                 record["plot_path"] = None
+
+        # Persist AFTER the plot so records.jsonl carries the same fields
+        # as the returned table (plot_path was silently missing on disk).
+        records.append(record)
+        with open(records_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     return records
 

@@ -86,7 +86,8 @@ def visualize_predictions(images: np.ndarray,
                           show_confidence: bool = True,
                           decoded: bool = False,
                           config: DetectorConfig = DetectorConfig(),
-                          prefix: str = "prediction") -> Sequence[str]:
+                          prefix: str = "prediction",
+                          start_index: int = 0) -> Sequence[str]:
     """Batch renderer -> PNG files; returns the written paths.
 
     ``predictions`` raw (default, like model.predict feeding
@@ -102,7 +103,8 @@ def visualize_predictions(images: np.ndarray,
         rendered = draw_detections(
             image, dets, objectness_threshold, classification_threshold,
             show_confidence, decoded=True, config=config)
-        path = os.path.join(output_dir, f"{prefix}_{i:04d}.png")
+        path = os.path.join(output_dir,
+                            f"{prefix}_{start_index + i:04d}.png")
         Image.fromarray(rendered).save(path)
         paths.append(path)
     return paths

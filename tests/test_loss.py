@@ -94,3 +94,27 @@ def test_loss_weights_scale_terms():
     l2 = float(detection_loss(y_true, y_pred, CONFIG, double,
                               use_transform_predictions=False))
     assert l2 == pytest.approx(2 * l1, rel=1e-6)
+
+
+def test_classification_grad_finite_for_fractional_exponent():
+    """exponent < 1 (a public LossConfig knob): masked lanes must not
+    produce NaN gradients (round-3 review: the mask folded inside the
+    power gave d/dx x^0.5 = inf at the masked zeros)."""
+    import dataclasses
+
+    import jax
+
+    cfg = DetectorConfig(image_size=(34, 34), embedding_dim=8,
+                         num_heads=2, key_dim=4, encoder_blocks=1,
+                         encoder_mlp_layers=2, head_last_units=8,
+                         head_layers=1)
+    loss_cfg = dataclasses.replace(LossConfig(), exponent=0.5)
+    y_true = np.full((2, cfg.max_objects, 6), -8.0, np.float32)
+    y_true[..., 0] = 0.0
+    y_true[0, 0] = (1, 5, 17.0, 17.0, 8.0, 8.0)   # one positive, many negative
+    y_pred = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, y_true.shape), jnp.float32)
+
+    grads = jax.grad(lambda p: detection_loss(
+        jnp.asarray(y_true), p, cfg, loss_cfg))(y_pred)
+    assert np.all(np.isfinite(np.asarray(grads)))

@@ -194,3 +194,37 @@ def test_ring_dropout_gradients_finite():
         grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
     for g in grads:
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ring_batch_sharded_over_data_matches_oracle():
+    """With batch % data == 0 the batch axis is sharded over 'data'
+    (round-3 review: a replicated spec made GSPMD all-gather the global
+    batch and recompute attention on every data shard). Outputs — and
+    the dropout mask's GLOBAL batch coordinates — must match the
+    unsharded oracle exactly."""
+    import jax.numpy as jnp
+
+    from vision_transformer_detector_tpu.kernels.flash_attention import (
+        flash_attention)
+    from vision_transformer_detector_tpu.kernels.ring_attention import (
+        ring_attention_in_jit)
+
+    mesh = create_mesh(data=4, model=2)
+    q, k, v = _qkv(4, 64, 2, 16, seed=9)   # batch 4 over data=4
+
+    with mesh:
+        out = jax.jit(lambda q, k, v: ring_attention_in_jit(
+            q, k, v, mesh))(q, k, v)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    rate, seed = 0.3, 321
+    with mesh:
+        out_d = jax.jit(lambda q, k, v: ring_attention_in_jit(
+            q, k, v, mesh, dropout_rate=rate,
+            dropout_seed=jnp.uint32(seed)))(q, k, v)
+    want_d = flash_attention(q, k, v, dropout_rate=rate,
+                             dropout_seed=jnp.uint32(seed))
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(want_d),
+                               atol=3e-5, rtol=3e-5)

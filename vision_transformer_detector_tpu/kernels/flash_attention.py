@@ -259,6 +259,14 @@ def _auto_blocks(n: int) -> tuple[int, int]:
     """
     n128 = _round_up(n, 128)
     block_kv = min(n128, 2048)
+    if n128 > 2048:
+        # Guard the KV axis against padding waste too (the q axis always
+        # had this guard): n=2304 with block_kv=2048 padded K/V to 4096 —
+        # 78% masked work. Largest candidate whose padding stays small.
+        for cand in (2048, 1024, 512, 256, 128):
+            if _round_up(n, cand) <= 1.125 * n128:
+                block_kv = cand
+                break
     budget_rows = (12 * 1024 * 1024) // (4 * block_kv) // 128 * 128
     for cand in (n128, 2048, 1024, 512, 256):
         if cand <= min(budget_rows, n128) and _round_up(n, cand) <= 1.25 * n128:
@@ -324,10 +332,14 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         seed = jnp.zeros((1,), jnp.uint32)
         rate = None
     else:
+        rate = float(dropout_rate)
+        if not 0.0 < rate < 1.0:
+            raise ValueError(
+                f"dropout_rate must be in (0, 1), got {rate} (1.0 would "
+                "drop everything; larger values wrap the keep threshold)")
         if dropout_seed is None:
             raise ValueError("dropout_rate needs a dropout_seed")
         seed = jnp.asarray(dropout_seed).astype(jnp.uint32).reshape((1,))
-        rate = float(dropout_rate)
         use_pallas_backward = False
     return _flash_attention_vjp(q, k, v, seed, block_q, block_kv,
                                 interpret, bool(use_pallas_backward),

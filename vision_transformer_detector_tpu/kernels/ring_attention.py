@@ -24,7 +24,7 @@ from __future__ import annotations
 import functools
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..parallel.mesh import MODEL_AXIS
 
@@ -32,7 +32,8 @@ _NEG_INF = -1e30
 
 
 def _ring_attention_local(q, k, v, seed=None, *, axis_name: str,
-                          axis_size: int, dropout: tuple | None = None):
+                          axis_size: int, dropout: tuple | None = None,
+                          batch_axis_name: str | None = None):
     """Runs inside shard_map: q/k/v are this device's token shards
     (B, n_local, H, K). Rotates K/V ``axis_size`` times, accumulating
     streaming-softmax statistics in fp32.
@@ -58,7 +59,14 @@ def _ring_attention_local(q, k, v, seed=None, *, axis_name: str,
 
         threshold, inv_keep = dropout
         my_index = jax.lax.axis_index(axis_name)
-        bh_idx = (jnp.arange(b, dtype=jnp.uint32)[:, None] * h
+        # Global batch index: when the batch axis is sharded over 'data',
+        # offset by this shard's position so masks stay decorrelated
+        # across data shards and match the unsharded flash oracle.
+        b_base = jnp.uint32(0)
+        if batch_axis_name is not None:
+            b_base = (jax.lax.axis_index(batch_axis_name).astype(jnp.uint32)
+                      * jnp.uint32(b))
+        bh_idx = ((b_base + jnp.arange(b, dtype=jnp.uint32))[:, None] * h
                   + jnp.arange(h, dtype=jnp.uint32)[None, :])
         q_pos = (my_index.astype(jnp.uint32) * n_q
                  + jnp.arange(n_q, dtype=jnp.uint32))
@@ -124,21 +132,34 @@ def ring_attention_in_jit(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n = q.shape[1]
     assert n % axis_size == 0, (
         f"token axis {n} must divide ring size {axis_size}")
-    spec = P(None, axis_name, None, None)
+    # Shard the batch over the data axis whenever it divides: a
+    # batch-replicated spec made GSPMD all-gather the global batch and
+    # every data shard recompute ALL of attention — 'data'x the FLOPs
+    # and activation memory under DP (round-3 review finding). The
+    # replicated fallback keeps small-batch/test callers working.
+    from ..parallel.mesh import DATA_AXIS
+    data_size = dict(mesh.shape).get(DATA_AXIS, 1)
+    shard_batch = data_size > 1 and q.shape[0] % data_size == 0
+    batch_axis = DATA_AXIS if shard_batch else None
+    spec = P(batch_axis, axis_name, None, None)
     if dropout_rate in (None, 0.0):
         dropout = None
         seed = jnp.zeros((), jnp.uint32)
     else:
         from .flash_attention import _keep_threshold
 
+        rate = float(dropout_rate)
+        if not 0.0 < rate < 1.0:
+            raise ValueError(
+                f"dropout_rate must be in (0, 1), got {rate}")
         if dropout_seed is None:
             raise ValueError("dropout_rate needs a dropout_seed")
-        dropout = (_keep_threshold(float(dropout_rate)),
-                   1.0 / (1.0 - float(dropout_rate)))
+        dropout = (_keep_threshold(rate), 1.0 / (1.0 - rate))
         seed = jnp.asarray(dropout_seed).astype(jnp.uint32).reshape(())
     fn = shard_map(
         functools.partial(_ring_attention_local, axis_name=axis_name,
-                          axis_size=axis_size, dropout=dropout),
+                          axis_size=axis_size, dropout=dropout,
+                          batch_axis_name=batch_axis),
         mesh=mesh, in_specs=(spec, spec, spec, P()), out_specs=spec)
     return fn(q, k, v, seed)
 
@@ -146,29 +167,13 @@ def ring_attention_in_jit(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    mesh: Mesh,
-                   axis_name: str = MODEL_AXIS) -> jnp.ndarray:
+                   axis_name: str = MODEL_AXIS,
+                   dropout_rate: float | None = None,
+                   dropout_seed=None) -> jnp.ndarray:
     """Exact global attention with the token axis sharded over
-    ``axis_name``. (B, N, H, K) in and out; N % ring_size == 0."""
-    try:
-        from jax import shard_map  # jax >= 0.7 top-level API
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-
-    axis_size = mesh.shape[axis_name]
-    n = q.shape[1]
-    assert n % axis_size == 0, (
-        f"token axis {n} must divide ring size {axis_size}")
-
-    spec = P(None, axis_name, None, None)
-    fn = shard_map(
-        functools.partial(_ring_attention_local, axis_name=axis_name,
-                          axis_size=axis_size),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
-    )
-    sharding = NamedSharding(mesh, spec)
-    q = jax.device_put(q, sharding)
-    k = jax.device_put(k, sharding)
-    v = jax.device_put(v, sharding)
-    return fn(q, k, v)
+    ``axis_name``. (B, N, H, K) in and out; N % ring_size == 0.
+    Standalone entry: delegates to ring_attention_in_jit (one wiring,
+    dropout support included)."""
+    return ring_attention_in_jit(q, k, v, mesh, axis_name=axis_name,
+                                 dropout_rate=dropout_rate,
+                                 dropout_seed=dropout_seed)

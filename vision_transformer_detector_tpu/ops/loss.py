@@ -83,13 +83,18 @@ def detection_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray,
     safe_count = jnp.maximum(positives, 1.0)
 
     # --- classification term over positives (vtd.py:1209-1228) -------------
-    # The mask is folded INSIDE the power so negative slots contribute an
-    # exact 0 with a zero gradient (for even exponents this is identical to
-    # masking afterwards, but it cannot produce 0 * inf in the backward).
+    # Masked lanes are substituted with a SAFE base (1.0) before the power
+    # and zeroed after: power at 1.0 has a finite gradient for EVERY
+    # exponent, and jnp.where's gradient only flows through the selected
+    # branch. (Folding the mask inside the power instead made the backward
+    # NaN for exponent < 1: d/dx x^e at x=0 is inf, and inf * the 0 chain
+    # coefficient is NaN — round-3 review finding.)
     classification_error = jnp.abs(y_pred[..., 1] - y_true[..., 1])
+    safe_base = jnp.where(object_mask > 0,
+                          loss_config.coefficient * classification_error,
+                          1.0)
     loss_classification = jnp.power(
-        loss_config.coefficient * classification_error * object_mask,
-        loss_config.exponent)
+        safe_base, loss_config.exponent) * object_mask
     loss_classification_mean = jnp.sum(loss_classification) / safe_count
 
     # --- CIoU term over positives (vtd.py:1230-1247) -----------------------

@@ -26,6 +26,7 @@ def create_mesh(data: Optional[int] = None, model: int = 1,
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Mesh over ('data', 'model'). ``data=None`` uses all remaining
     devices for data parallelism."""
+    explicit = devices is not None
     if devices is None:
         devices = jax.devices()
     n = len(devices)
@@ -34,6 +35,19 @@ def create_mesh(data: Optional[int] = None, model: int = 1,
         data = n // model
     assert data * model == n, (
         f"mesh {data}x{model} != {n} available devices")
+    if not explicit:
+        # Topology-aware placement: the 'model' axis (ring attention's
+        # ppermute, TP collectives) must sit on ICI-neighbor links; a raw
+        # reshape of jax.devices() can interleave hosts/non-adjacent
+        # chips on multi-host slices (round-3 review finding). Falls back
+        # to the plain reshape off-TPU.
+        try:
+            from jax.experimental import mesh_utils
+            grid = mesh_utils.create_device_mesh((data, model),
+                                                 devices=devices)
+            return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+        except Exception:
+            pass
     grid = np.asarray(devices).reshape(data, model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

@@ -95,6 +95,51 @@ def test_export_bundle_routes_by_request_size(tmp_path):
         detector(jnp.zeros((5, 34, 34, 3)))
 
 
+def test_export_baked_postprocess_roundtrip(tmp_path):
+    """`cli export --bake-postprocess` freezes NMS + top-k INTO the graph:
+    the artifact returns the postprocess_detections tuple and records the
+    spec in config.json; padding is sliced off every tuple leaf."""
+    from vision_transformer_detector_tpu.export import normalize_postprocess
+    from vision_transformer_detector_tpu.ops.nms import (
+        postprocess_detections)
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    path = str(tmp_path / "baked")
+    spec = {"k": 5, "score_threshold": -1.0}
+    save_exported(path, params, TINY, batch_size=[2], postprocess=spec)
+
+    detector = load_exported(path)
+    assert detector.postprocess == normalize_postprocess(spec)
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 34, 34, 3),
+                                minval=-1, maxval=1)
+    decoded = transform_predictions(forward(params, images, TINY), TINY)
+    want = postprocess_detections(decoded, k=5, score_threshold=-1.0)
+
+    got = detector(images)          # request 1 -> padded to graph 2
+    assert isinstance(got, tuple) and len(got) == 4
+    scores, classes, boxes, valid = got
+    assert scores.shape == (1, 5)
+    assert classes.shape == (1, 5)
+    assert boxes.shape == (1, 5, 4)
+    assert valid.shape == (1, 5)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_normalize_postprocess_rejects_unknown_keys():
+    from vision_transformer_detector_tpu.export import normalize_postprocess
+
+    assert normalize_postprocess(None) is None
+    full = normalize_postprocess({})
+    assert full == {"k": 17, "iou_threshold": 0.5, "score_threshold": 0.0,
+                    "per_class": True}
+    with pytest.raises(ValueError, match="unknown postprocess"):
+        normalize_postprocess({"topk": 5})
+
+
 def test_reexport_clears_stale_graphs(tmp_path):
     """Re-exporting into a reused directory must remove old graphs — the
     loader merges every model*.stablehlo it finds, so a stale one would

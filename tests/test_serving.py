@@ -381,3 +381,42 @@ def test_server_clamps_max_batch_to_export_bundle(tmp_path):
         assert all(r is not None for r in results)
     finally:
         server.stop()
+
+def test_exported_service_with_baked_postprocess(tmp_path, service):
+    """An artifact exported with --bake-postprocess carries NMS/top-k in
+    the frozen graph: ExportedDetectionService uses the baked spec (and
+    warns when serve-time knobs disagree) and still matches the live
+    service's detections."""
+    from vision_transformer_detector_tpu.export import save_exported
+    from vision_transformer_detector_tpu.models.vit_detector import (
+        init_params)
+    from vision_transformer_detector_tpu.serving import (
+        ExportedDetectionService)
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    artifact = str(tmp_path / "baked_artifact")
+    save_exported(artifact, params, CFG, batch_size=[1, 2],
+                  postprocess={"score_threshold": -1.0})
+
+    exported = ExportedDetectionService(artifact, score_threshold=-1.0)
+    images = np.random.default_rng(5).integers(
+        0, 255, (2, 64, 64, 3), np.uint8)
+    live = service.detect_array(images)
+    frozen = exported.detect_array(images)
+    assert len(frozen) == len(live) == 2
+    for a, b in zip(frozen, live):
+        assert len(a) == len(b)
+        for da, db in zip(a, b):
+            assert da["class_id"] == db["class_id"]
+            assert da["score"] == pytest.approx(db["score"], abs=1e-3)
+
+    # Odd request size exercises the tuple-leaf padding slice.
+    one = exported.detect_array(images[:1])
+    assert len(one) == 1 and len(one[0]) == len(live[0])
+
+    # Conflicting serve-time knobs: baked spec wins, with a warning.
+    import warnings
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ExportedDetectionService(artifact, k=3, score_threshold=0.5)
+    assert any("baked postprocess" in str(w.message) for w in caught)

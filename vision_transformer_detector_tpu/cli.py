@@ -381,11 +381,19 @@ def cmd_export(args) -> None:
     else:
         params = init_params(jax.random.PRNGKey(0), config)
     batch = args.batch_sizes if args.batch_sizes else args.batch_size
+    postprocess = None
+    if args.bake_postprocess:
+        postprocess = {"k": args.nms_k,
+                       "iou_threshold": args.nms_iou_threshold,
+                       "score_threshold": args.score_threshold,
+                       "per_class": not args.class_agnostic_nms}
     path = save_exported(args.output_dir, params, config,
                          batch_size=batch,
-                         platforms=args.platforms)
+                         platforms=args.platforms,
+                         postprocess=postprocess)
     print(json.dumps({"exported": path, "batch_size": batch,
-                      "platforms": args.platforms or ["native"]}))
+                      "platforms": args.platforms or ["native"],
+                      "postprocess": postprocess}))
 
 
 def cmd_plot(args) -> None:
@@ -525,6 +533,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platforms", nargs="*", default=None,
                    help="lowering platforms (e.g. tpu cpu); default: "
                         "the current backend")
+    p.add_argument("--bake-postprocess", action="store_true",
+                   help="bake NMS + top-k (ops/nms.py) into the exported "
+                        "graphs: artifacts return (scores, class_ids, "
+                        "boxes, valid) with leading (batch, k) — the "
+                        "whole serving compute path in one frozen "
+                        "program; 'serve --from-export' honors the "
+                        "baked spec")
+    p.add_argument("--nms-k", type=int, default=17,
+                   help="top-k kept per image when baking postprocess")
+    p.add_argument("--nms-iou-threshold", type=float, default=0.5)
+    p.add_argument("--score-threshold", type=float, default=0.0)
+    p.add_argument("--class-agnostic-nms", action="store_true",
+                   help="suppress across classes (default: per-class)")
     p.set_defaults(func=cmd_export)
 
     p = sub.add_parser("plot", help="loss/AP training curves")

@@ -34,18 +34,56 @@ _MODEL_FILE_TMPL = "model_b{batch}.stablehlo"  # multi-batch bundle
 _PARAMS_FILE = "params.npz"
 _CONFIG_FILE = "config.json"
 
+# Canonical keys (and defaults) of a baked-postprocess spec — the kwargs
+# of ops/nms.py:postprocess_detections.
+_POSTPROCESS_DEFAULTS = {
+    "k": 17, "iou_threshold": 0.5, "score_threshold": 0.0,
+    "per_class": True,
+}
+
+
+def normalize_postprocess(postprocess: Optional[dict]) -> Optional[dict]:
+    """Fill defaults / reject unknown keys for a postprocess spec dict."""
+    if postprocess is None:
+        return None
+    unknown = set(postprocess) - set(_POSTPROCESS_DEFAULTS)
+    if unknown:
+        raise ValueError(
+            f"unknown postprocess keys {sorted(unknown)}; valid: "
+            f"{sorted(_POSTPROCESS_DEFAULTS)}")
+    out = dict(_POSTPROCESS_DEFAULTS)
+    out.update(postprocess)
+    return {"k": int(out["k"]),
+            "iou_threshold": float(out["iou_threshold"]),
+            "score_threshold": float(out["score_threshold"]),
+            "per_class": bool(out["per_class"])}
+
 
 def export_inference(params, config: DetectorConfig, batch_size: int,
-                     platforms: Optional[Sequence[str]] = None) -> bytes:
-    """Serialize jit(forward + decode) for fixed (batch, H, W, 3) inputs."""
+                     platforms: Optional[Sequence[str]] = None,
+                     postprocess: Optional[dict] = None) -> bytes:
+    """Serialize jit(forward + decode) for fixed (batch, H, W, 3) inputs.
+
+    ``postprocess`` (keys of ``_POSTPROCESS_DEFAULTS``) additionally bakes
+    the NMS + top-k postprocess (ops/nms.py) into the graph: the artifact
+    then returns ``(scores, class_ids, boxes, valid)`` with leading
+    ``(batch, k)`` instead of raw decoded ``(batch, max_objects, 6)`` —
+    the whole serving compute path in one frozen program.
+    """
     from jax import export as jax_export
 
     from .models.vit_detector import forward
     from .ops.decode import transform_predictions
 
+    postprocess = normalize_postprocess(postprocess)
+
     def infer(params, images):
-        return transform_predictions(forward(params, images, config),
-                                     config)
+        decoded = transform_predictions(forward(params, images, config),
+                                        config)
+        if postprocess is None:
+            return decoded
+        from .ops.nms import postprocess_detections
+        return postprocess_detections(decoded, **postprocess)
 
     h, w = config.image_size
     image_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
@@ -60,17 +98,21 @@ def export_inference(params, config: DetectorConfig, batch_size: int,
 
 def save_exported(directory: str, params, config: DetectorConfig,
                   batch_size,
-                  platforms: Optional[Sequence[str]] = None) -> str:
+                  platforms: Optional[Sequence[str]] = None,
+                  postprocess: Optional[dict] = None) -> str:
     """Write the self-describing artifact directory; returns its path.
 
     ``batch_size`` may be an int (one pinned graph, ``model.stablehlo``)
     or a sequence of ints (a bundle: one ``model_b{N}.stablehlo`` per
     size; the loader routes each request to the smallest graph that
     fits and pads, so serving covers arbitrary request sizes up to the
-    largest exported batch).
+    largest exported batch). ``postprocess`` bakes NMS + top-k into
+    every graph (see export_inference); the spec is recorded in
+    config.json so loaders know the output signature.
     """
     from .utils.checkpoint import save_params_npz
 
+    postprocess = normalize_postprocess(postprocess)
     os.makedirs(directory, exist_ok=True)
     if isinstance(batch_size, int):
         sizes = [batch_size]
@@ -85,7 +127,8 @@ def save_exported(directory: str, params, config: DetectorConfig,
     # broken if an export failed mid-bundle (round-3 review finding).
     tmp_names = [name + ".tmp" for name in names]
     for size, tmp in zip(sizes, tmp_names):
-        blob = export_inference(params, config, size, platforms)
+        blob = export_inference(params, config, size, platforms,
+                                postprocess=postprocess)
         with open(os.path.join(directory, tmp), "wb") as f:
             f.write(blob)
     # All new graphs written — now clear stale graphs (the loader merges
@@ -99,8 +142,11 @@ def save_exported(directory: str, params, config: DetectorConfig,
         os.replace(os.path.join(directory, tmp),
                    os.path.join(directory, name))
     save_params_npz(os.path.join(directory, _PARAMS_FILE), params)
+    payload = configs_to_dict(config)
+    if postprocess is not None:
+        payload["postprocess"] = postprocess
     with open(os.path.join(directory, _CONFIG_FILE), "w") as f:
-        json.dump(configs_to_dict(config), f, indent=1)
+        json.dump(payload, f, indent=1)
     return directory
 
 
@@ -136,7 +182,12 @@ class ExportedDetector:
         # key paths (utils/checkpoint.py save format: "a/b/0/c").
         self._params = _unflatten_npz(data)
         with open(os.path.join(directory, _CONFIG_FILE)) as f:
-            self.config, _, _ = configs_from_dict(json.load(f))
+            payload = json.load(f)
+        self.config, _, _ = configs_from_dict(payload)
+        #: Baked-postprocess spec (normalize_postprocess form) or None.
+        #: When set, __call__ returns the postprocess_detections tuple
+        #: ``(scores, class_ids, boxes, valid)`` instead of raw decoded.
+        self.postprocess = payload.get("postprocess")
 
     @property
     def batch_sizes(self) -> tuple:
@@ -166,6 +217,10 @@ class ExportedDetector:
         if batch != request:
             images = jnp.pad(images, ((0, batch - request),) + ((0, 0),) * 3)
         out = self._exported[batch].call(self._params, images)
+        if isinstance(out, (tuple, list)):
+            # Baked-postprocess graphs return the postprocess_detections
+            # tuple; slice the padding off every leaf, not the tuple.
+            return tuple(leaf[:request] for leaf in out)
         return out[:request]
 
 

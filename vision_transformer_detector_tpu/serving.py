@@ -147,7 +147,10 @@ class ExportedDetectionService(DetectionService):
 
     The exported graph (export.py: forward + decode, pinned shapes/
     dtypes) replaces the live-model jit; the NMS/top-k postprocess runs
-    in its own small jit on the decoded output. Serving a frozen
+    in its own small jit on the decoded output — unless the artifact was
+    exported with a baked postprocess (`cli export --bake-postprocess`),
+    in which case the frozen graph already ends in NMS/top-k and the
+    spec recorded at export time is authoritative. Serving a frozen
     artifact pins the model graph against code drift — the deployment
     story: `cli export` on the training host, `cli serve --from-export`
     on the serving host, which never imports the model-building code.
@@ -170,15 +173,37 @@ class ExportedDetectionService(DetectionService):
         self.config = self._exported.config
         self.params = None   # the artifact owns the weights
 
-        postprocess = jax.jit(functools.partial(
-            postprocess_detections, k=k, iou_threshold=iou_threshold,
-            score_threshold=score_threshold))
+        baked = self._exported.postprocess
+        if baked is not None:
+            # The artifact carries its own NMS/top-k inside the frozen
+            # graph (cli export --bake-postprocess); the spec recorded
+            # at export time is authoritative — warn if the serve-time
+            # knobs disagree rather than silently ignoring them.
+            asked = {"k": k, "iou_threshold": iou_threshold,
+                     "score_threshold": score_threshold}
+            diffs = {key: (asked[key], baked[key]) for key in asked
+                     if asked[key] != baked[key]}
+            if diffs:
+                import warnings
+                warnings.warn(
+                    "artifact has baked postprocess; ignoring serve-time "
+                    f"settings that differ from the baked spec: {diffs}")
 
-        def predict(images):
-            images = np.asarray(images)
-            if images.dtype == np.uint8:
-                images = images.astype(np.float32) / 127.5 - 1.0
-            return postprocess(self._exported(images))
+            def predict(images):
+                images = np.asarray(images)
+                if images.dtype == np.uint8:
+                    images = images.astype(np.float32) / 127.5 - 1.0
+                return self._exported(images)
+        else:
+            postprocess = jax.jit(functools.partial(
+                postprocess_detections, k=k, iou_threshold=iou_threshold,
+                score_threshold=score_threshold))
+
+            def predict(images):
+                images = np.asarray(images)
+                if images.dtype == np.uint8:
+                    images = images.astype(np.float32) / 127.5 - 1.0
+                return postprocess(self._exported(images))
 
         self._predict_exported = predict
 

@@ -210,6 +210,30 @@ def test_pallas_fused_backward_multi_tile():
                                    atol=1e-4, rtol=1e-3)
 
 
+def test_pallas_fused_backward_whole_row_blocks():
+    """Full-N blocks (the measured whole-row schedule): the kv grid axis
+    and the in-kernel q loop both collapse to 1 — dq init + accumulate
+    still runs exactly once per (batch, head) row."""
+    from vision_transformer_detector_tpu.kernels import flash_attention as fa
+
+    rngs = jax.random.split(jax.random.PRNGKey(11), 4)
+    shape = (2, 200, 2, 32)   # n_pad 256 = one whole-row block per bh
+    q, k, v, g = (jax.random.normal(r, shape) for r in rngs)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=256, block_kv=256,
+                                       use_pallas_backward=True) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) * g)
+
+    grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(grads_flash, grads_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
 def test_auto_block_policy():
     """Lock the measured-best block policy (PERFORMANCE.md round 2b):
     one KV block at framework sequence lengths, largest VMEM-safe q

@@ -97,8 +97,15 @@ def main():
 
     bench("chunked", functools.partial(
         flash_attention, use_pallas_backward=False))
-    for bq, bkv in ((256, 256), (512, 512), (256, 1664), (512, 1024),
-                    (1024, 512)):
+    # Whole-row schedule: full-N blocks collapse the kv grid axis and the
+    # q fori_loop to 1 — per (batch, head) the entire N x N score lives in
+    # VMEM and the backward is five unblocked matmuls (viable because this
+    # framework's sequences are <= ~4k tokens; a long-context flash kernel
+    # could never do this).
+    full = -(-args.n // 128) * 128
+    variants = [(256, 256), (512, 512), (256, full), (512, 1024),
+                (1024, 512), (full, full)]
+    for bq, bkv in variants:
         bench(f"pallas_bwd bq={bq} bkv={bkv}", functools.partial(
             flash_attention, block_q=bq, block_kv=bkv,
             use_pallas_backward=True))

@@ -431,6 +431,17 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret,
     full_q = pl.BlockSpec((1, n_pad_q, k_pad), lambda bh_, j: (bh_, 0, 0),
                           memory_space=pltpu.VMEM)
 
+    # Large (e.g. whole-row) score tiles overflow Mosaic's default 16 MB
+    # scoped-vmem stack; raise the per-kernel limit when the fp32 score
+    # tile alone nears it (measured: full 1664x1664 blocks need ~17 MB
+    # total — Mosaic reuses buffers, so 4x the score tile is generous).
+    params = None
+    if not interpret:
+        score_bytes = 4 * block_q * block_kv
+        if 4 * score_bytes > 12 * 1024 * 1024:
+            params = pltpu.CompilerParams(
+                vmem_limit_bytes=min(100 * 1024 * 1024,
+                                     max(32 * 1024 * 1024, 4 * score_bytes)))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, block_q=block_q, seq_len=n),
         grid=(bh, n_pad_kv // block_kv),
@@ -443,6 +454,7 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret,
                    jax.ShapeDtypeStruct((bh, n_pad_kv, k_pad), k.dtype),
                    jax.ShapeDtypeStruct((bh, n_pad_kv, k_pad), v.dtype)),
         interpret=interpret,
+        compiler_params=params,
     )(qf, kf, vf, gf, lse_p, delta)
 
     def unprep(t, dtype):

@@ -526,10 +526,11 @@ def test_original_frame_evaluation_roundtrip(tmp_path):
                              r[3] / scale, r[4] / scale)
         return out
 
+    dump = tmp_path / "results.json"
     summary = evaluate_coco_protocol_original_frame(
         params=None, image_dir=str(images), annotations=annotations,
         config=cfg, batch_size=2, eval_step=fake_eval_step,
-        objectness_threshold=0.5)
+        objectness_threshold=0.5, dump_detections=str(dump))
     assert summary["AP"] == 1.0
     assert summary["AP50"] == 1.0
     # Areas come from the dict: one tiny (12 px^2 -> small) and one
@@ -537,6 +538,25 @@ def test_original_frame_evaluation_roundtrip(tmp_path):
     assert summary["AP_small"] == 1.0
     assert summary["AP_medium"] == 1.0
     assert summary["AP_large"] == -1.0
+
+    # --dump-detections: standard COCO results format in ORIGINAL
+    # pixels with COCO category ids (re-scorable with pycocotools).
+    import json as json_mod
+    results = json_mod.load(open(dump))
+    assert len(results) == 4          # 2 detections per image
+    assert {r["image_id"] for r in results} == {1, 2}
+    assert all(set(r) == {"image_id", "category_id", "bbox", "score"}
+               for r in results)
+    assert {r["category_id"] for r in results} == {1, 3}   # COCO ids
+    person = next(r for r in results
+                  if r["image_id"] == 1 and r["category_id"] == 1)
+    h, w = sizes[1]
+    x, y, bw, bh = person["bbox"]     # top-left x, y, width, height
+    assert x == pytest.approx(w * 0.4 - w * 0.3 / 2, abs=0.51)
+    assert y == pytest.approx(h * 0.5 - h * 0.4 / 2, abs=0.51)
+    assert bw == pytest.approx(w * 0.3, abs=0.51)
+    assert bh == pytest.approx(h * 0.4, abs=0.51)
+    assert person["score"] == pytest.approx(0.9, abs=1e-3)
 
 
 def test_per_category_breakdown():

@@ -131,6 +131,11 @@ def cmd_evaluate(args) -> None:
     elif args.restore:
         state = trainer.restore(state, args.restore)
     protocol = getattr(args, "protocol", "custom")
+    dump = getattr(args, "dump_detections", None)
+    if dump and protocol != "coco-original":
+        raise SystemExit("--dump-detections requires "
+                         "--protocol coco-original (detections are "
+                         "dumped in original-frame pixels)")
     if protocol == "coco-original":
         from .data.annotations import load_annotations_dict
         from .metrics.coco_eval import (
@@ -142,8 +147,12 @@ def cmd_evaluate(args) -> None:
             load_annotations_dict(args.val_annotations), config,
             batch_size=args.batch_size,
             objectness_threshold=args.objectness_threshold,
-            images_range=(start, end if end >= 0 else None))
-        print(json.dumps({"protocol": "coco-original", **summary}))
+            images_range=(start, end if end >= 0 else None),
+            dump_detections=dump)
+        out = {"protocol": "coco-original", **summary}
+        if dump:
+            out["dumped_detections"] = dump
+        print(json.dumps(out))
         return
     data = _build_dataset(args, config, args.val_images,
                           args.val_annotations)
@@ -453,6 +462,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="coco protocol only: drop detections at or below "
                         "this objectness (default keeps all, the "
                         "COCOeval convention)")
+    p.add_argument("--dump-detections", default=None, metavar="PATH",
+                   help="coco-original protocol only: also write every "
+                        "detection in the standard COCO results format "
+                        "(original-frame pixels, COCO category ids) for "
+                        "re-scoring with pycocotools elsewhere")
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser("predict", help="decoded detections as json")

@@ -442,8 +442,15 @@ def evaluate_coco_protocol_original_frame(
         batch_size: int = 8, eval_step=None,
         objectness_threshold: float = 0.0,
         class_confidence_threshold: float = 0.0,
-        images_range=None) -> Dict[str, float]:
+        images_range=None,
+        dump_detections: Optional[str] = None) -> Dict[str, float]:
     """Official protocol in ORIGINAL image coordinates.
+
+    ``dump_detections`` additionally writes every detection (pre-eval,
+    original-frame pixels) to the given path in the standard COCO
+    results format — ``[{"image_id", "category_id", "bbox": [x, y, w,
+    h], "score"}, ...]`` with COCO category ids — so runs here can be
+    re-scored with pycocotools (absent from this image) elsewhere.
 
     Ground truth comes straight from the annotation dict
     (``{image_id: [[coco_cat, cx, cy, h, w, area], ...]}``, original
@@ -471,6 +478,7 @@ def evaluate_coco_protocol_original_frame(
                                          images_range=images_range)
              if image_id_from_path(p) in annotations]
     evaluator = CocoEvaluator()
+    dumped: List[dict] = []
     mh, mw = config.image_size
     for start in range(0, len(paths), batch_size):
         chunk = paths[start:start + batch_size]
@@ -489,6 +497,19 @@ def evaluate_coco_protocol_original_frame(
             det_boxes[:, 1] = (det_boxes[:, 1] - blank_h) * scale
             det_boxes[:, 2:] *= scale
 
+            if dump_detections is not None:
+                from ..data.categories import MODEL_ID_TO_COCO_ID
+                img_id = image_id_from_path(path)
+                if str(img_id).isdigit():   # COCO ids are ints in results
+                    img_id = int(img_id)
+                for box, score, cat in zip(det_boxes, det_scores,
+                                           det_categories):
+                    dumped.append({
+                        "image_id": img_id,
+                        "category_id": MODEL_ID_TO_COCO_ID[int(cat)],
+                        "bbox": [round(float(v), 2) for v in box],
+                        "score": round(float(score), 5)})
+
             gt_boxes, gt_categories, gt_areas = [], [], []
             for row in annotations[image_id_from_path(path)]:
                 coco_id = int(row[0])
@@ -504,6 +525,11 @@ def evaluate_coco_protocol_original_frame(
                 gt_areas=gt_areas,
                 det_boxes=det_boxes, det_scores=det_scores,
                 det_categories=det_categories)
+    if dump_detections is not None:
+        import json
+
+        with open(dump_detections, "w") as f:
+            json.dump(dumped, f)
     return evaluator.evaluate().summarize()
 
 

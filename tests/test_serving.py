@@ -420,3 +420,57 @@ def test_exported_service_with_baked_postprocess(tmp_path, service):
         warnings.simplefilter("always")
         ExportedDetectionService(artifact, k=3, score_threshold=0.5)
     assert any("baked postprocess" in str(w.message) for w in caught)
+
+
+def test_stats_endpoint(service):
+    """GET /stats: outcome counters, latency percentiles, batcher shape."""
+    from PIL import Image
+
+    server = DetectionServer(service, port=0, max_batch=4, warmup=False)
+    server.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        arr = np.zeros((32, 32, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG")
+        for _ in range(3):
+            req = urllib.request.Request(f"{base}/predict",
+                                         data=buf.getvalue())
+            with urllib.request.urlopen(req, timeout=60):
+                pass
+        # One bad payload -> counted, excluded from latency window.
+        req = urllib.request.Request(f"{base}/predict", data=b"junk")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"]["ok"] == 3
+        assert stats["requests"]["bad_request"] == 1
+        assert stats["requests"]["total"] == 4
+        assert stats["uptime_s"] > 0
+        lat = stats["latency_ms_recent"]
+        assert lat["count"] == 3
+        assert lat["p50"] <= lat["p99"] <= lat["max"]
+        batching = stats["batching"]
+        assert batching["images_served"] == 3
+        assert batching["batches_served"] >= 1
+        assert sum(batching["batch_size_histogram_recent"].values()) \
+            == batching["batches_served"]
+    finally:
+        server.stop()
+
+
+def test_stats_without_batching(service):
+    server = DetectionServer(service, port=0, batching=False)
+    server.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["batching"] is None
+        assert stats["requests"]["total"] == 0
+    finally:
+        server.stop()

@@ -21,6 +21,7 @@ pipelined measurement).
 
 from __future__ import annotations
 
+import collections
 import functools
 import io
 import json
@@ -243,7 +244,13 @@ class BatchingDetectionService:
         # sizes up front.
         self.bucket_mode = bucket_mode
         self._queue: "queue.Queue" = queue.Queue()
-        self.batch_sizes: List[int] = []   # observability: sizes served
+        # Observability: recent batch sizes (bounded — a long-running
+        # server must not grow a per-batch list forever) + monotonic
+        # totals. Appended only by the single completer thread.
+        self.batch_sizes: "collections.deque" = collections.deque(
+            maxlen=4096)
+        self.batches_served = 0
+        self.images_served = 0
         # Two-stage pipeline: the dispatcher enqueues device work without
         # syncing; the completer syncs + fulfils in order. Depth > 1 keeps
         # the device busy during a batch's host round-trip — the measured
@@ -364,6 +371,8 @@ class BatchingDetectionService:
             try:
                 results = self.service.raw_to_detections(raw)  # syncs
                 self.batch_sizes.append(len(batch))
+                self.batches_served += 1
+                self.images_served += len(batch)
                 for slot, dets in zip(batch, results):
                     slot["result"] = dets
             except Exception as exc:
@@ -372,6 +381,22 @@ class BatchingDetectionService:
             finally:
                 for slot in batch:
                     slot["event"].set()
+
+    def stats(self) -> dict:
+        """Batching observability snapshot (served by GET /stats)."""
+        sizes = list(self.batch_sizes)   # copy: completer keeps appending
+        hist: dict = {}
+        for s in sizes:
+            hist[str(s)] = hist.get(str(s), 0) + 1
+        return {
+            "batches_served": self.batches_served,
+            "images_served": self.images_served,
+            "mean_batch_recent": (sum(sizes) / len(sizes)) if sizes else 0.0,
+            "batch_size_histogram_recent": hist,
+            "queue_depth": self._queue.qsize(),
+            "max_batch": self.max_batch,
+            "bucket_mode": self.bucket_mode,
+        }
 
     def stop(self) -> None:
         """Graceful shutdown: in-flight batches complete; queued requests
@@ -427,6 +452,16 @@ class DetectionServer:
         if self.batcher is not None and warmup:
             self.batcher.warmup()
         self.request_timeout = request_timeout
+        # Request observability for GET /stats: monotonic outcome counters
+        # plus a bounded window of recent end-to-end latencies (decode +
+        # queue + device + response build). One lock; handler threads only
+        # touch it for a few appends per request.
+        self._stats_lock = threading.Lock()
+        self._started = time.monotonic()
+        self._outcomes = {"ok": 0, "bad_request": 0, "timeout": 0,
+                          "not_found": 0}
+        self._latencies_ms: "collections.deque" = collections.deque(
+            maxlen=2048)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -444,15 +479,19 @@ class DetectionServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._send(200, {"ok": True})
+                elif self.path == "/stats":
+                    self._send(200, server.stats())
                 else:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
                 if self.path != "/predict":
+                    server._record("not_found", None)
                     self._send(404, {"error": "not found"})
                     return
                 length = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(length)
+                tic = time.monotonic()
                 try:
                     if server.batcher is not None:
                         canvas, original = server.service.letterbox_jpeg(
@@ -464,11 +503,14 @@ class DetectionServer:
                     else:
                         result = server.service.detect_jpeg(data)
                 except TimeoutError as exc:
+                    server._record("timeout", time.monotonic() - tic)
                     self._send(503, {"error": str(exc)})
                     return
                 except Exception as exc:  # bad image, wrong payload...
+                    server._record("bad_request", time.monotonic() - tic)
                     self._send(400, {"error": str(exc)})
                     return
+                server._record("ok", time.monotonic() - tic)
                 self._send(200, result)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
@@ -478,6 +520,39 @@ class DetectionServer:
     @property
     def port(self) -> int:
         return self._httpd.server_address[1]
+
+    def _record(self, outcome: str, latency_s: Optional[float]) -> None:
+        with self._stats_lock:
+            self._outcomes[outcome] = self._outcomes.get(outcome, 0) + 1
+            # Only successful predictions feed the latency window: error
+            # paths return in microseconds and would drag the percentiles
+            # into meaninglessness.
+            if outcome == "ok" and latency_s is not None:
+                self._latencies_ms.append(latency_s * 1e3)
+
+    def stats(self) -> dict:
+        """Operational snapshot: outcome counters, latency percentiles
+        over the recent window, and the micro-batcher's batch shape."""
+        with self._stats_lock:
+            outcomes = dict(self._outcomes)
+            lat = sorted(self._latencies_ms)
+        out = {
+            "uptime_s": round(time.monotonic() - self._started, 3),
+            "requests": {**outcomes, "total": sum(outcomes.values())},
+            "batching": (self.batcher.stats()
+                         if self.batcher is not None else None),
+        }
+        if lat:
+            def pct(p: float) -> float:
+                return round(lat[min(len(lat) - 1,
+                                     int(p / 100.0 * len(lat)))], 3)
+            out["latency_ms_recent"] = {
+                "count": len(lat),
+                "mean": round(sum(lat) / len(lat), 3),
+                "p50": pct(50), "p90": pct(90), "p99": pct(99),
+                "max": round(lat[-1], 3),
+            }
+        return out
 
     def start(self) -> None:
         self._serving = True

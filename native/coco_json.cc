@@ -105,6 +105,21 @@ class Scanner {
 
   bool Number(double* out) {
     SkipWs();
+    // Python's json accepts the non-standard Infinity / -Infinity / NaN
+    // literals by default; match it so a skipped field holding one does
+    // not fail the whole parse where the pure-Python path succeeds.
+    if (ConsumeLiteral("Infinity")) {
+      *out = HUGE_VAL;
+      return true;
+    }
+    if (ConsumeLiteral("-Infinity")) {
+      *out = -HUGE_VAL;
+      return true;
+    }
+    if (ConsumeLiteral("NaN")) {
+      *out = std::nan("");
+      return true;
+    }
     // std::from_chars is locale-independent (strtod honors LC_NUMERIC, so a
     // host process that setlocale()s to a comma-decimal locale would stop
     // parsing "12.5" at the dot — ADVICE round 2). It also never reads past
@@ -121,6 +136,14 @@ class Scanner {
     }
     p_ = result.ptr;
     *out = value;
+    return true;
+  }
+
+  bool ConsumeLiteral(const char* lit) {
+    const size_t len = std::strlen(lit);
+    if (static_cast<size_t>(end_ - p_) < len) return false;
+    if (std::memcmp(p_, lit, len) != 0) return false;
+    p_ += len;
     return true;
   }
 
@@ -171,11 +194,26 @@ class Scanner {
   std::string error_;
 };
 
+// double -> int64 with an explicit range check: static_cast of an
+// out-of-range double is undefined behaviour in C++, and the Python path
+// (arbitrary-precision int) would diverge silently anyway.
+bool ToInt64(Scanner& s, double v, long long* out) {
+  // 2^63 as a double is exact; NaN fails both comparisons (Python's
+  // int(float('nan')) raises too).
+  if (!(v >= -9223372036854775808.0 && v < 9223372036854775808.0)) {
+    s.Fail("integer field out of int64 range");
+    return false;
+  }
+  *out = static_cast<long long>(v);
+  return true;
+}
+
 // Parses one annotation object, appending to the output arrays.
 bool ParseAnnotation(Scanner& s, Parsed& out) {
   if (!s.Consume('{')) return false;
   double image_id = 0, category_id = 0;
   double bbox[4] = {0, 0, 0, 0};
+  bool has_image_id = false, has_category_id = false, has_bbox = false;
   if (!s.Peek('}')) {
     std::string key;
     while (true) {
@@ -183,8 +221,10 @@ bool ParseAnnotation(Scanner& s, Parsed& out) {
       if (!s.Consume(':')) return false;
       if (key == "image_id") {
         if (!s.Number(&image_id)) return false;
+        has_image_id = true;
       } else if (key == "category_id") {
         if (!s.Number(&category_id)) return false;
+        has_category_id = true;
       } else if (key == "bbox") {
         if (!s.Consume('[')) return false;
         int i = 0;
@@ -208,6 +248,7 @@ bool ParseAnnotation(Scanner& s, Parsed& out) {
           s.Fail("bbox array must contain exactly 4 numbers");
           return false;
         }
+        has_bbox = true;
       } else {
         if (!s.SkipValue()) return false;
       }
@@ -219,8 +260,18 @@ bool ParseAnnotation(Scanner& s, Parsed& out) {
     }
   }
   if (!s.Consume('}')) return false;
-  out.image_ids.push_back(static_cast<long long>(image_id));
-  out.category_ids.push_back(static_cast<long long>(category_id));
+  // The pure-Python path raises KeyError on a missing field; a silent
+  // zero-fill would diverge (same class of bug as the short-bbox
+  // zero-fill the round-2 advisor flagged).
+  if (!has_image_id || !has_category_id || !has_bbox) {
+    s.Fail("annotation missing image_id/category_id/bbox");
+    return false;
+  }
+  long long image_id_i = 0, category_id_i = 0;
+  if (!ToInt64(s, image_id, &image_id_i)) return false;
+  if (!ToInt64(s, category_id, &category_id_i)) return false;
+  out.image_ids.push_back(image_id_i);
+  out.category_ids.push_back(category_id_i);
   out.bboxes.insert(out.bboxes.end(), bbox, bbox + 4);
   return true;
 }

@@ -165,3 +165,44 @@ def test_native_accepts_overflowing_literals_like_python():
            b'"area": 1e400, "bbox": [1.0, 2.0, 3.0, 4.0]}]}')
     ids, cats, boxes, n = _native_coco_json.parse_instances(doc)
     assert n == 1
+
+
+@needs_native
+def test_native_rejects_missing_required_keys():
+    # The pure-Python path KeyErrors on a missing image_id/category_id/
+    # bbox; the native parser must error too, not zero-fill.
+    from vision_transformer_detector_tpu._native import _native_coco_json
+
+    for missing in (b'{"category_id": 2, "bbox": [1.0, 2.0, 3.0, 4.0]}',
+                    b'{"image_id": 1, "bbox": [1.0, 2.0, 3.0, 4.0]}',
+                    b'{"image_id": 1, "category_id": 2}'):
+        with pytest.raises(ValueError):
+            _native_coco_json.parse_instances(
+                b'{"annotations": [' + missing + b']}')
+
+
+@needs_native
+def test_native_rejects_out_of_int64_range_ids():
+    # static_cast of an out-of-range double to int64 is UB in C++; the
+    # parser must fail explicitly instead (the Python path would keep an
+    # arbitrary-precision int the framework cannot represent either).
+    from vision_transformer_detector_tpu._native import _native_coco_json
+
+    for value in (b"1e30", b"-1e30", b"NaN"):
+        doc = (b'{"annotations": [{"image_id": ' + value +
+               b', "category_id": 2, "bbox": [1.0, 2.0, 3.0, 4.0]}]}')
+        with pytest.raises(ValueError):
+            _native_coco_json.parse_instances(doc)
+
+
+@needs_native
+def test_native_tolerates_python_json_literals_in_skipped_fields():
+    # json.loads accepts Infinity/-Infinity/NaN by default; a skipped
+    # field holding one must not fail the parse where Python succeeds.
+    from vision_transformer_detector_tpu._native import _native_coco_json
+
+    doc = (b'{"info": {"x": Infinity, "y": -Infinity, "z": NaN}, '
+           b'"annotations": [{"image_id": 1, "category_id": 2, '
+           b'"score": NaN, "bbox": [1.0, 2.0, 3.0, 4.0]}]}')
+    ids, cats, boxes, n = _native_coco_json.parse_instances(doc)
+    assert n == 1

@@ -81,3 +81,31 @@ def test_dataset_uses_native(tmp_path):
     images, labels = next(iter(ds))
     assert images.shape == (1, 64, 64, 3)
     assert labels[0, 0, 0] == 1
+
+
+def test_native_letterbox_geometry_random_sizes(tmp_path):
+    """Randomized source/target sizes: the native resize/pad geometry must
+    land exactly where the Python path computes it (nearbyint ties-to-even
+    == Python round; offsets (t-r)//2) — pads zero, content inside."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    for trial in range(12):
+        oh, ow = int(rng.integers(8, 200)), int(rng.integers(8, 200))
+        th, tw = int(rng.integers(32, 128)), int(rng.integers(32, 128))
+        path = tmp_path / f"geom{trial}.jpg"
+        Image.fromarray(np.full((oh, ow, 3), 255, np.uint8)).save(
+            path, quality=100)
+        cfg = DetectorConfig(image_size=(th, tw))
+        canvas, size = pipeline.load_and_letterbox_image(
+            str(path), cfg, normalize=False, use_native=True)
+        assert size == (oh, ow)
+        scale = max(oh / th, ow / tw)
+        rh = max(1, round(oh / scale))
+        rw = max(1, round(ow / scale))
+        top, left = (th - rh) // 2, (tw - rw) // 2
+        nz_rows = np.where(canvas.max(axis=(1, 2)) > 0)[0]
+        nz_cols = np.where(canvas.max(axis=(0, 2)) > 0)[0]
+        msg = f"trial {trial}: {oh}x{ow} -> {th}x{tw} (r {rh}x{rw})"
+        assert nz_rows[0] == top and nz_rows[-1] == top + rh - 1, msg
+        assert nz_cols[0] == left and nz_cols[-1] == left + rw - 1, msg

@@ -189,3 +189,17 @@ def test_cli_sweep_batch_size_reaches_datasets(dataset, tmp_path, capsys):
         records = [json.loads(line) for line in f]
     assert {r["batch_size"] for r in records} == {2, 4}
     assert all("plot_path" in r for r in records)   # persisted with plot
+
+
+def test_cli_benchmark_inference_and_train(tmp_path, capsys):
+    main(["benchmark", *common({}, tmp_path), "--batch-size", "2",
+          "--preset", "tiny_96", "--iterations", "2"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["mode"] == "inference" and result["batch"] == 2
+    assert result["ms_per_step"] > 0 and result["img_per_s"] > 0
+
+    main(["benchmark", *common({}, tmp_path), "--batch-size", "2",
+          "--preset", "tiny_96", "--iterations", "2", "--mode", "train"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["mode"] == "train"
+    assert result["ms_per_step"] > 0 and result["img_per_s"] > 0

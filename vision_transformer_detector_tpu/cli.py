@@ -412,6 +412,78 @@ def cmd_plot(args) -> None:
     print(json.dumps({"written": path}))
 
 
+def cmd_benchmark(args) -> None:
+    """Standardized throughput measurement for any config on this host's
+    device — the reference measured throughput by eyeballing notebook
+    cell-15 wall clock; this replaces it with the repo's honest-timing
+    recipe (docs/DESIGN.md: enqueue N steps chained by a data dependency
+    inside jit-compiled code, fetch a scalar; block_until_ready alone does
+    not sync on tunneled devices)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from .models.vit_detector import forward, init_params
+    from .ops.decode import transform_predictions
+
+    config = _build_config(args)
+    params = init_params(jax.random.PRNGKey(0), config)
+    h, w = config.image_size
+    batch = args.batch_size
+    images = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3),
+                                minval=-1.0, maxval=1.0)
+    iterations = args.iterations
+
+    if args.mode == "inference":
+        @jax.jit
+        def chained(params, images, eps):
+            out = transform_predictions(
+                forward(params, images + eps, config), config)
+            return out, out.mean() * 0.0
+
+        eps = jnp.float32(0.0)
+        out, eps = chained(params, images, eps)
+        float(eps)                                   # compile + sync
+        tic = time.perf_counter()
+        for _ in range(iterations):
+            out, eps = chained(params, images, eps)  # chained via eps
+        float(eps)
+        elapsed = time.perf_counter() - tic
+    else:
+        import numpy as np
+
+        from .train.trainer import Trainer
+
+        trainer = Trainer(config, LossConfig(), TrainConfig(
+            learning_rate=1e-4, batch_size=batch), mesh=_maybe_mesh(args))
+        state = trainer.init_state()
+        labels = np.full((batch, config.max_objects, 6), -8.0, np.float32)
+        labels[..., 0] = 0.0
+        labels[:, 0] = (1, 3, h / 2, w / 2, h / 4, w / 4)
+        images_d, labels_d = trainer._put_batch(np.asarray(images), labels)
+        rng = jax.random.PRNGKey(0)
+        state, loss = trainer.train_step(state, images_d, labels_d, rng)
+        float(loss)                                  # compile + sync
+        tic = time.perf_counter()
+        for _ in range(iterations):
+            # Chained through the state pytree: step i+1 consumes step
+            # i's updated params, so the device cannot reorder.
+            state, loss = trainer.train_step(state, images_d, labels_d, rng)
+        float(loss)
+        elapsed = time.perf_counter() - tic
+
+    ms = elapsed / iterations * 1e3
+    print(json.dumps({
+        "preset": args.preset, "mode": args.mode,
+        "device": jax.devices()[0].platform,
+        "image_size": [h, w], "batch": batch,
+        "compute_dtype": config.compute_dtype,
+        "iterations": iterations,
+        "ms_per_step": round(ms, 2),
+        "img_per_s": round(batch * 1e3 / ms, 1)}))
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="vision_transformer_detector_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -566,6 +638,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics", required=True)
     p.add_argument("--output", default="loss-AP-scatters.html")
     p.set_defaults(func=cmd_plot)
+
+    p = sub.add_parser(
+        "benchmark",
+        help="honest-timing throughput of a config on this device")
+    common(p)
+    p.add_argument("--mode", choices=("inference", "train"),
+                   default="inference")
+    p.add_argument("--iterations", type=int, default=10)
+    p.set_defaults(func=cmd_benchmark)
 
     return parser
 

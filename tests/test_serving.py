@@ -474,3 +474,38 @@ def test_stats_without_batching(service):
         assert stats["requests"]["total"] == 0
     finally:
         server.stop()
+
+
+def test_body_size_limit_and_inflight_cap(service):
+    import http.client
+
+    server = DetectionServer(service, port=0, warmup=False,
+                             max_body_bytes=1024, max_inflight=0)
+    server.start()
+    try:
+        # Oversized Content-Length is rejected before the body is read.
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=30)
+        conn.request("POST", "/predict", body=b"x" * 2048,
+                     headers={"Content-Type": "image/jpeg"})
+        resp = conn.getresponse()
+        assert resp.status == 413
+        resp.read()
+        conn.close()
+
+        # max_inflight=0: every prediction is shed with 429.
+        req = urllib.request.Request(f"http://127.0.0.1:{server.port}"
+                                     "/predict", data=b"tiny")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 429"
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"]["too_large"] == 1
+        assert stats["requests"]["overloaded"] == 1
+    finally:
+        server.stop()

@@ -352,9 +352,12 @@ def _serve(args, service) -> None:
                              batching=not args.no_batching,
                              max_batch=args.max_batch,
                              max_wait_ms=args.batch_window_ms,
-                             request_timeout=args.request_timeout)
+                             request_timeout=args.request_timeout,
+                             max_body_bytes=args.max_body_mb * 1024 * 1024,
+                             max_inflight=args.max_inflight)
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
-                      "endpoints": ["/healthz", "POST /predict"]}),
+                      "endpoints": ["/healthz", "/stats",
+                                    "POST /predict"]}),
           flush=True)
     # Serve on a worker thread so SIGTERM/SIGINT can drive a graceful
     # stop (shutdown() must not be called from the serving thread).
@@ -601,6 +604,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(closes early when --max-batch is reached)")
     p.add_argument("--request-timeout", type=float, default=30.0,
                    help="seconds before a queued request gets HTTP 503")
+    p.add_argument("--max-body-mb", type=int, default=32,
+                   help="reject request bodies above this size (HTTP 413)")
+    p.add_argument("--max-inflight", type=int, default=64,
+                   help="bound concurrent predictions (excess gets "
+                        "HTTP 429)")
     p.add_argument("--from-export", default=None, metavar="DIR",
                    help="serve a StableHLO export artifact (cli export) "
                         "instead of building the model — pins the graph "

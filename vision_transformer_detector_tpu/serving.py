@@ -437,8 +437,16 @@ class DetectionServer:
                  port: int = 8000, batching: bool = True,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
                  request_timeout: float = 30.0, warmup: bool = True,
-                 bucket_mode: str = "pow2"):
+                 bucket_mode: str = "pow2",
+                 max_body_bytes: int = 32 * 1024 * 1024,
+                 max_inflight: int = 64):
         self.service = service
+        # Production guards: a Content-Length read without a cap lets one
+        # request allocate arbitrary host memory (-> 413), and
+        # ThreadingHTTPServer spawns a thread per connection, each holding
+        # a decoded canvas — bound concurrent predictions (-> 429).
+        self.max_body_bytes = max_body_bytes
+        self._inflight_sem = threading.BoundedSemaphore(max_inflight)
         # An export bundle's largest graph bounds the feasible batch
         # (ExportedDetectionService.max_batch_size); a bucket above it
         # would fail every batched request.
@@ -490,6 +498,23 @@ class DetectionServer:
                     self._send(404, {"error": "not found"})
                     return
                 length = int(self.headers.get("Content-Length", 0))
+                if length > server.max_body_bytes:
+                    server._record("too_large", None)
+                    self._send(413, {
+                        "error": f"body {length} bytes exceeds the "
+                                 f"{server.max_body_bytes}-byte limit"})
+                    return
+                if not server._inflight_sem.acquire(blocking=False):
+                    server._record("overloaded", None)
+                    self._send(429, {"error": "too many in-flight "
+                                              "requests; retry later"})
+                    return
+                try:
+                    self._predict(length)
+                finally:
+                    server._inflight_sem.release()
+
+            def _predict(self, length: int):
                 data = self.rfile.read(length)
                 tic = time.monotonic()
                 try:

@@ -54,6 +54,10 @@ def main() -> None:
     parser.add_argument("--eval-every", type=int, default=500)
     parser.add_argument("--warm-up", type=int, default=500)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--train-flash", action="store_true",
+                        help="route TRAINING attention through the flash "
+                             "custom-VJP (the reference_608 preset "
+                             "default; 88 -> 56 ms/step measured)")
     parser.add_argument("--bf16-moments", action="store_true",
                         help="bf16 Adam moment state (stochastic-rounded "
                              "nu; train/optimizer.py)")
@@ -71,7 +75,8 @@ def main() -> None:
 
     config = DetectorConfig(
         image_size=(args.image_size, args.image_size),
-        compute_dtype="bfloat16" if args.bf16 else "float32")
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        train_use_flash_attention=True if args.train_flash else None)
     # The reference's measured loss hyperparameters (ipynb cell 7).
     loss_config = LossConfig(coefficient=9.0, exponent=2.0,
                              weight_classification=0.0074, weight_ciou=4.5)

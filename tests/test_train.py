@@ -428,3 +428,28 @@ def test_stochastic_rounding_is_deterministic_per_step():
         _, s2 = tx.update(g, s2)
     np.testing.assert_array_equal(np.asarray(s1.nu["w"], np.float32),
                                   np.asarray(s2.nu["w"], np.float32))
+
+
+def test_train_flash_override_is_train_only():
+    """config.train_use_flash_attention flips the TRAIN step's attention
+    path (loss matches the einsum step to kernel tolerance) while the
+    eval/inference path is untouched (bit-identical decoded outputs)."""
+    optimizer = make_optimizer(TC)
+    flash_cfg = dataclasses.replace(TINY, train_use_flash_attention=True)
+    images, labels = _batch()
+    rng = jax.random.PRNGKey(1)
+
+    losses = {}
+    for name, cfg in (("einsum", TINY), ("flash", flash_cfg)):
+        state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+        step = make_train_step(cfg, LOSS, optimizer, donate=False)
+        _, loss = step(state, images, labels, rng)
+        losses[name] = float(loss)
+    assert losses["flash"] == pytest.approx(losses["einsum"], rel=1e-4)
+
+    state = create_train_state(jax.random.PRNGKey(0), TINY,
+                               optimizer)
+    eval_einsum = make_eval_step(TINY)(state["params"], images)
+    eval_flash = make_eval_step(flash_cfg)(state["params"], images)
+    np.testing.assert_array_equal(np.asarray(eval_einsum),
+                                  np.asarray(eval_flash))

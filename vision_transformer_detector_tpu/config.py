@@ -81,6 +81,15 @@ class DetectorConfig:
     # iff key_dim is a multiple of 64; inference-only callers with narrow
     # heads can force True (bench.py does).
     attention_heads_major: Optional[bool] = None
+    # Attention path override for the TRAIN step only (None = no
+    # override). The flash/einsum crossover is direction-dependent at the
+    # reference arch: the flash custom-VJP's chunked backward avoids the
+    # einsum backward's ~41 ms/step of N x N softmax-gradient VPU
+    # reductions (88 -> 56 ms/step at 608px b8, measured round 3b) while
+    # einsum keeps winning large-batch INFERENCE (543 vs 415 img/s at
+    # b128). make_train_step applies this to the config it traces;
+    # inference/eval paths are untouched.
+    train_use_flash_attention: Optional[bool] = None
     use_fused_ffn: bool = False        # Pallas fused dense+mish kernel
     remat_encoder: bool = False        # jax.checkpoint each encoder block
     # Rematerialisation policy when remat_encoder is on:
@@ -201,8 +210,14 @@ class TrainConfig:
 # ---------------------------------------------------------------------------
 
 def reference_608() -> DetectorConfig:
-    """The reference's measured configuration (ipynb cell 7)."""
-    return DetectorConfig()
+    """The reference's measured configuration (ipynb cell 7).
+
+    Training routes attention through the flash custom-VJP (its chunked
+    backward trains this arch 88 -> 56 ms/step, +57% throughput —
+    PERFORMANCE.md round 3b); inference keeps the einsum path, which
+    wins at serving batch sizes.
+    """
+    return DetectorConfig(train_use_flash_attention=True)
 
 
 def reference_224() -> DetectorConfig:

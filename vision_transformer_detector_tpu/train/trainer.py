@@ -69,6 +69,13 @@ def make_train_step(config: DetectorConfig,
                     mesh=None):
     """Build the jitted train step. Sharding of inputs decides DP/TP; XLA
     emits the collectives."""
+    # Train-only attention override (config.train_use_flash_attention):
+    # the flash-vs-einsum crossover differs between training (chunked-VJP
+    # backward wins) and inference (einsum wins at serving batches), so
+    # the train step may trace a different attention path than eval.
+    if config.train_use_flash_attention is not None:
+        config = config.replace(
+            use_flash_attention=config.train_use_flash_attention)
 
     def train_step(state: TrainState, images, labels, rng
                    ) -> Tuple[TrainState, jnp.ndarray]:

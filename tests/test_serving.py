@@ -502,10 +502,23 @@ def test_body_size_limit_and_inflight_cap(service):
         except urllib.error.HTTPError as e:
             assert e.code == 429
 
+        # Malformed Content-Length is a 400, not an unhandled handler
+        # exception (which would drop the connection with no response).
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=30)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", "not-a-number")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.close()
+
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{server.port}/stats", timeout=30) as r:
             stats = json.loads(r.read())
         assert stats["requests"]["too_large"] == 1
         assert stats["requests"]["overloaded"] == 1
+        assert stats["requests"]["bad_request"] == 1
     finally:
         server.stop()

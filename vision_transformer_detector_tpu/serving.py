@@ -497,7 +497,16 @@ class DetectionServer:
                     server._record("not_found", None)
                     self._send(404, {"error": "not found"})
                     return
-                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    server._record("bad_request", None)
+                    self._send(400, {"error": "malformed Content-Length"})
+                    return
+                if length < 0:
+                    server._record("bad_request", None)
+                    self._send(400, {"error": "malformed Content-Length"})
+                    return
                 if length > server.max_body_bytes:
                     server._record("too_large", None)
                     self._send(413, {

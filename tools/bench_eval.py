@@ -64,7 +64,11 @@ def main():
 
     config = get_config(args.preset)
     h, w = config.image_size
-    params = init_params(jax.random.PRNGKey(0), config)
+    # Init on CPU, ship in one transfer: eager init on the tunneled device
+    # is hundreds of small RPCs and intermittently takes minutes.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = init_params(jax.random.PRNGKey(0), config)
+    params = jax.device_put(params, jax.devices()[0])
     images = jax.random.uniform(jax.random.PRNGKey(1), (args.b, h, w, 3),
                                 minval=-1.0, maxval=1.0)
     # Synthetic labels: a few valid boxes per image, rest EMPTY_SLOT fill.
@@ -97,8 +101,11 @@ def main():
         return per
 
     # --- infer only: forward + decode, chained through the images.
+    # params/labels are ARGUMENTS, not closures: closed-over arrays embed
+    # as HLO constants and the tunnel's remote_compile endpoint 413s on
+    # large request bodies.
     @jax.jit
-    def infer_chain(images):
+    def infer_chain(params, images):
         def body(carry, _):
             img, acc = carry
             decoded = transform_predictions(
@@ -109,14 +116,14 @@ def main():
                                    length=args.iterations)
         return acc
 
-    infer_ms = report("infer", timed(infer_chain, images))
+    infer_ms = report("infer", timed(infer_chain, params, images))
 
     # --- infer + metric update: the real per-batch eval step. The metric
     # state threading is itself the data dependency.
     state0 = fast_map.init_state(config)
 
     @jax.jit
-    def eval_chain(images, state):
+    def eval_chain(params, labels, images, state):
         def body(carry, _):
             img, st = carry
             decoded = transform_predictions(
@@ -129,7 +136,8 @@ def main():
                                   length=args.iterations)
         return st.labels_quantity_per_image.sum()
 
-    full_ms = report("infer+update", timed(eval_chain, images, state0))
+    full_ms = report("infer+update",
+                     timed(eval_chain, params, labels, images, state0))
 
     # --- update alone on a fixed decoded batch.
     decoded_fixed = jax.jit(
@@ -137,7 +145,7 @@ def main():
             forward(p, im, config, train=False), config))(params, images)
 
     @jax.jit
-    def update_chain(state):
+    def update_chain(labels, decoded_fixed, state):
         def body(st, _):
             st = fast_map.update(st, labels, decoded_fixed, config,
                                  use_transform_predictions=False)
@@ -145,7 +153,8 @@ def main():
         st, _ = jax.lax.scan(body, state, None, length=args.iterations)
         return st.labels_quantity_per_image.sum()
 
-    update_ms = report("update", timed(update_chain, state0))
+    update_ms = report("update",
+                       timed(update_chain, labels, decoded_fixed, state0))
 
     # --- compute(): once per epoch, so time a single call (chained x
     # iterations would distort it — it is read-only on the state, so chain
@@ -155,7 +164,7 @@ def main():
                                    use_transform_predictions=False))(state0)
 
     @jax.jit
-    def compute_chain(state):
+    def compute_chain(state):  # state is an argument; nothing big closed over
         def body(acc, _):
             ap = fast_map.compute(
                 state._replace(

@@ -67,7 +67,15 @@ def main() -> None:
             encoder_mlp_layers=2, head_last_units=32, head_layers=2)
         batch_size = 2
 
-    params = init_params(jax.random.PRNGKey(0), config)
+    # Init on CPU, ship in one transfer: eager init on the tunneled TPU is
+    # hundreds of small RPCs and intermittently takes minutes (measured
+    # round 3b — tools/bench_eval.py hit a 10-minute init stall).
+    if on_tpu:
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            params = init_params(jax.random.PRNGKey(0), config)
+        params = jax.device_put(params, device)
+    else:
+        params = init_params(jax.random.PRNGKey(0), config)
     h, w = config.image_size
     images = jax.random.uniform(
         jax.random.PRNGKey(1), (batch_size, h, w, 3),

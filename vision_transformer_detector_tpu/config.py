@@ -226,12 +226,19 @@ def reference_224() -> DetectorConfig:
 
 
 def vit_s16_224() -> DetectorConfig:
-    """BASELINE configs[1]: ViT-S/16 detector, 224px, MXU-aligned dims."""
+    """BASELINE configs[1]: ViT-S/16 detector, 224px, MXU-aligned dims.
+
+    Attention stays on the einsum path: at 196 tokens the blocked flash
+    kernel pads to its minimum tile and loses inference by 1.6x (14,149
+    vs 8,657 img/s at b64) while training is a wash (4.6 ms/step both
+    ways) — measured round 3b, tools/bench_small_vits.py. ViT-B/16 at
+    576 tokens is past the crossover and keeps flash.
+    """
     return DetectorConfig(
         image_size=(224, 224), patch_size=16, embedding_dim=384,
         num_heads=6, key_dim=64, encoder_blocks=12, encoder_mlp_layers=2,
         head_last_units=256, head_layers=3,
-        compute_dtype="bfloat16", use_flash_attention=True,
+        compute_dtype="bfloat16", use_flash_attention=False,
     )
 
 

@@ -241,12 +241,19 @@ def test_auto_block_policy():
     from vision_transformer_detector_tpu.kernels.flash_attention import (
         _auto_blocks)
 
-    # reference arch 608px: 1296 tokens -> single program per (batch, head)
+    # reference arch 608px: 1296 tokens, 16-aligned -> whole-row UNPADDED
+    # single block (round 3b: padded q/k/v copies cost more than the
+    # masked partial vregs they avoid)
     bq, bkv = _auto_blocks(1296)
-    assert bkv == 1408 and bq == 1408
-    # L/16 640px: 1600 tokens
+    assert bkv == 1296 and bq == 1296
+    # L/16 640px: 1600 tokens, 16-aligned -> unpadded whole row
     bq, bkv = _auto_blocks(1600)
-    assert bkv == 1664 and bq == 1664
+    assert bkv == 1600 and bq == 1600
+    # ViT-B/16 384px: 576 tokens -> unpadded whole row
+    assert _auto_blocks(576) == (576, 576)
+    # non-16-aligned lengths keep the padded 128-multiple policy
+    bq, bkv = _auto_blocks(1444)
+    assert bkv == 1536 and bq == 1536
     # 1024px global: 4096 tokens -> kv capped, q blocked to fit the
     # fp32 score tile in the ~12 MB budget with zero padding waste
     bq, bkv = _auto_blocks(4096)

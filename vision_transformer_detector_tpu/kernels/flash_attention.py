@@ -256,7 +256,18 @@ def _auto_blocks(n: int) -> tuple[int, int]:
     ONE kv block and the largest q block whose fp32 score tile fits a
     ~12 MB VMEM budget without padding the query axis by more than 25%
     (4.04 -> 1.65 ms at the ViT-L/16 640px shape).
+
+    Unpadded whole-row schedule (round 3b): when n is already
+    sublane-aligned (multiple of 16 covers both fp32 and bf16 tiles) and
+    one (n, n) fp32 score tile fits the VMEM budget, run a single
+    n-sized block with ZERO padding — Mosaic masks the partial lane
+    vregs natively, which beats materialising padded q/k/v copies in
+    HBM every call: 2.27 -> 1.39 ms at N=576 (ViT-B/16 b64) and
+    1.55 -> 1.35 ms at N=1600 (ViT-L/16 b8), tools/ ad-hoc sweep +
+    kernel gates.
     """
+    if n >= 128 and n % 16 == 0 and 4 * n * n <= 12 * 1024 * 1024:
+        return n, n
     n128 = _round_up(n, 128)
     block_kv = min(n128, 2048)
     if n128 > 2048:

@@ -48,6 +48,33 @@ def test_flash_attention_bf16():
         atol=3e-2, rtol=3e-2)
 
 
+def test_flash_attention_unpadded_whole_row():
+    """16-aligned N with auto blocks takes the unpadded whole-row
+    schedule (round 3b: block_q = block_kv = N, no 128-rounding) —
+    forward and gradients must still match the einsum oracle."""
+    from vision_transformer_detector_tpu.kernels.flash_attention import (
+        _auto_blocks)
+
+    n = 144                      # >=128, multiple of 16, NOT of 128
+    assert _auto_blocks(n) == (n, n)
+    q, key, v = _qkv(2, n, 2, 64)
+    out = flash_attention(q, key, v)          # auto blocks
+    expected = reference_attention(q, key, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=2e-5, rtol=2e-5)
+
+    cot = jax.random.normal(jax.random.PRNGKey(7), q.shape)
+    grads = jax.grad(
+        lambda q, k, v: (flash_attention(q, k, v) * cot).sum(),
+        argnums=(0, 1, 2))(q, key, v)
+    expected_grads = jax.grad(
+        lambda q, k, v: (reference_attention(q, k, v) * cot).sum(),
+        argnums=(0, 1, 2))(q, key, v)
+    for g, e in zip(grads, expected_grads):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_flash_attention_single_query_block():
     """Sequence shorter than one block exercises the degenerate grid."""
     q, key, v = _qkv(1, 64, 1, 64)

@@ -2,6 +2,7 @@
 
 import io
 import json
+import os
 import urllib.request
 
 import jax
@@ -316,13 +317,22 @@ def test_cli_serve_graceful_sigterm(tmp_path):
 
     from PIL import Image
 
+    # Force the CPU platform: this environment's sitecustomize registers
+    # the tunneled 'axon' TPU as the default (and overrides jax_platforms
+    # itself, so JAX_PLATFORMS=cpu alone is not enough) — without the
+    # override the subprocess serves from the real chip: slow, and an
+    # unbounded HANG (blocked readline below) whenever the tunnel is
+    # down. Dropping PALLAS_AXON_POOL_IPS disables the registration.
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.Popen(
         [sys.executable, "-m", "vision_transformer_detector_tpu.cli",
          "serve", "--preset", "tiny_96", "--port", "0",
          "--checkpoint-dir", str(tmp_path / "ckpt"),
          "--max-batch", "2", "--batch-window-ms", "5"],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-        cwd="/root/repo")
+        cwd="/root/repo", env=env)
     try:
         line = proc.stdout.readline()           # blocks until ready
         port = int(json.loads(line)["serving"].rsplit(":", 1)[1])

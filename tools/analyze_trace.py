@@ -79,9 +79,16 @@ def main() -> None:
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
+        raw_name = e.get("name", "?")
+        # Parent spans: the profiler emits one enclosing "jit_<fn>(<id>)"
+        # event per executable launch PLUS its child per-op events —
+        # counting both double-counts every millisecond and buries the
+        # real ops under a 50% "other" row (seen on the round-3b b16
+        # trace). Module-launch spans carry a "(digits)" suffix.
+        if re.fullmatch(r"jit_.*\(\d+\)", raw_name):
+            continue
         dur = e.get("dur", 0) / 1e3  # us -> ms
-        name = e.get("name", "?") if args.raw else normalize(
-            e.get("name", "?"))
+        name = raw_name if args.raw else normalize(raw_name)
         by_op[name] += dur
         by_cat[categorize(name)] += dur
         total += dur

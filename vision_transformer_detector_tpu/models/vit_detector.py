@@ -24,6 +24,7 @@ checkpoint conversion and optax transforms stay transparent. Matmuls run in
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional
 
@@ -79,7 +80,19 @@ def _mha_init(rng, embed_dim, num_heads, key_dim, dtype):
 # ---------------------------------------------------------------------------
 
 def init_params(rng: jax.Array, config: DetectorConfig) -> Params:
-    """Build the full parameter pytree for ``forward``."""
+    """Build the full parameter pytree for ``forward``.
+
+    Runs as ONE jitted program: the eager version dispatched hundreds of
+    small rng/init ops, each a device round-trip — pathological on a
+    tunneled device (measured multi-minute init stalls, round 3b) and
+    wasteful on any remote runtime. ``config`` is static (hashable frozen
+    dataclass), so repeat inits of the same config hit the jit cache.
+    """
+    return _init_params_jit(rng, config)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _init_params_jit(rng: jax.Array, config: DetectorConfig) -> Params:
     dtype = jnp.dtype(config.param_dtype)
     keys = iter(jax.random.split(rng, 16 + 8 * config.encoder_blocks
                                  + 4 * len(config.head_units)))

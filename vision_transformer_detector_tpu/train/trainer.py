@@ -46,12 +46,21 @@ TrainState = Dict[str, Any]  # {"params", "opt_state", "step"}
 
 def create_train_state(rng: jax.Array, config: DetectorConfig,
                        optimizer: optax.GradientTransformation) -> TrainState:
-    params = init_params(rng, config)
-    return {
-        "params": params,
-        "opt_state": optimizer.init(params),
-        "step": jnp.zeros((), jnp.int32),
-    }
+    # One jitted program for the whole init: eager optimizer.init alone
+    # dispatches two small zeros-ops per parameter leaf — hundreds of
+    # device round-trips, pathological on a tunneled device (round 3b).
+    # The jit is built per call (init runs once per process), closing
+    # over config/optimizer to avoid static-arg hashing of optax state.
+    @jax.jit
+    def _init(rng):
+        params = init_params(rng, config)
+        return {
+            "params": params,
+            "opt_state": optimizer.init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    return _init(rng)
 
 
 def _maybe_normalize(images: jnp.ndarray) -> jnp.ndarray:

@@ -203,3 +203,25 @@ def test_cli_benchmark_inference_and_train(tmp_path, capsys):
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert result["mode"] == "train"
     assert result["ms_per_step"] > 0 and result["img_per_s"] > 0
+
+
+def test_cli_no_flash_attention_override(tmp_path, capsys):
+    """--no-flash-attention forces einsum everywhere, including clearing
+    a preset's train-only flash override; combining both flags errors."""
+    import pytest
+
+    from vision_transformer_detector_tpu.cli import (
+        _build_config, build_parser)
+
+    parser = build_parser()
+    args = parser.parse_args(
+        ["benchmark", "--preset", "reference_608", "--no-flash-attention"])
+    config = _build_config(args)
+    assert config.use_flash_attention is False
+    assert config.train_use_flash_attention is False
+
+    args = parser.parse_args(
+        ["benchmark", "--preset", "tiny_96",
+         "--flash-attention", "--no-flash-attention"])
+    with pytest.raises(SystemExit):
+        _build_config(args)

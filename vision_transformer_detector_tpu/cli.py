@@ -30,6 +30,10 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype")
     p.add_argument("--flash-attention", action="store_true")
+    p.add_argument("--no-flash-attention", action="store_true",
+                   help="force the einsum attention path everywhere "
+                        "(overrides preset defaults incl. the train-only "
+                        "flash override)")
     p.add_argument("--fused-ffn", action="store_true")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--restore", default=None,
@@ -51,8 +55,14 @@ def _build_config(args) -> DetectorConfig:
         overrides["image_size"] = (args.image_size, args.image_size)
     if args.bf16:
         overrides["compute_dtype"] = "bfloat16"
+    if args.flash_attention and args.no_flash_attention:
+        raise SystemExit("--flash-attention and --no-flash-attention "
+                         "are mutually exclusive")
     if args.flash_attention:
         overrides["use_flash_attention"] = True
+    if args.no_flash_attention:
+        overrides["use_flash_attention"] = False
+        overrides["train_use_flash_attention"] = False
     if args.fused_ffn:
         overrides["use_fused_ffn"] = True
     return config.replace(**overrides) if overrides else config

@@ -217,6 +217,57 @@ def test_batch_window_closes_early_when_full(service):
         batching.stop()
 
 
+def test_stats_concurrent_with_completer(service):
+    """stats() snapshots while the completer appends — iterating a deque
+    that another thread mutates raises RuntimeError, so the snapshot and
+    the counter updates must share a lock (serving.py _stats_lock)."""
+    import threading
+
+    from vision_transformer_detector_tpu.serving import (
+        BatchingDetectionService)
+
+    batching = BatchingDetectionService(service, max_batch=2,
+                                        max_wait_ms=1.0)
+    stats_errors = []
+    stop = threading.Event()
+
+    def hammer_stats():
+        while not stop.is_set():
+            try:
+                st = batching.stats()
+                assert st["images_served"] >= 0
+            except Exception as exc:  # RuntimeError pre-fix
+                stats_errors.append(exc)
+                return
+
+    try:
+        readers = [threading.Thread(target=hammer_stats) for _ in range(3)]
+        for r in readers:
+            r.start()
+        img = np.zeros((64, 64, 3), np.uint8)
+        results = [None] * 16
+        def run(i):
+            results[i] = batching.submit(img)
+        writers = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(results))]
+        for t in writers:
+            t.start()
+        for t in writers:
+            t.join(timeout=120)
+        stop.set()
+        for r in readers:
+            r.join(timeout=30)
+        assert not stats_errors, stats_errors
+        assert all(r is not None for r in results)
+        st = batching.stats()
+        assert st["images_served"] == 16
+        assert st["batches_served"] == sum(
+            st["batch_size_histogram_recent"].values())
+    finally:
+        stop.set()
+        batching.stop()
+
+
 def test_submit_timeout_raises(service):
     from vision_transformer_detector_tpu.serving import (
         BatchingDetectionService)

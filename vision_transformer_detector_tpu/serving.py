@@ -246,7 +246,10 @@ class BatchingDetectionService:
         self._queue: "queue.Queue" = queue.Queue()
         # Observability: recent batch sizes (bounded — a long-running
         # server must not grow a per-batch list forever) + monotonic
-        # totals. Appended only by the single completer thread.
+        # totals. The completer appends; stats() snapshots from handler
+        # threads — iterating a deque while another thread appends raises
+        # RuntimeError, so both sides take this (uncontended) lock.
+        self._stats_lock = threading.Lock()
         self.batch_sizes: "collections.deque" = collections.deque(
             maxlen=4096)
         self.batches_served = 0
@@ -370,9 +373,10 @@ class BatchingDetectionService:
             batch, raw = entry
             try:
                 results = self.service.raw_to_detections(raw)  # syncs
-                self.batch_sizes.append(len(batch))
-                self.batches_served += 1
-                self.images_served += len(batch)
+                with self._stats_lock:
+                    self.batch_sizes.append(len(batch))
+                    self.batches_served += 1
+                    self.images_served += len(batch)
                 for slot, dets in zip(batch, results):
                     slot["result"] = dets
             except Exception as exc:
@@ -384,13 +388,16 @@ class BatchingDetectionService:
 
     def stats(self) -> dict:
         """Batching observability snapshot (served by GET /stats)."""
-        sizes = list(self.batch_sizes)   # copy: completer keeps appending
+        with self._stats_lock:
+            sizes = list(self.batch_sizes)
+            batches_served = self.batches_served
+            images_served = self.images_served
         hist: dict = {}
         for s in sizes:
             hist[str(s)] = hist.get(str(s), 0) + 1
         return {
-            "batches_served": self.batches_served,
-            "images_served": self.images_served,
+            "batches_served": batches_served,
+            "images_served": images_served,
             "mean_batch_recent": (sum(sizes) / len(sizes)) if sizes else 0.0,
             "batch_size_histogram_recent": hist,
             "queue_depth": self._queue.qsize(),

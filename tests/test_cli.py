@@ -225,3 +225,29 @@ def test_cli_no_flash_attention_override(tmp_path, capsys):
          "--flash-attention", "--no-flash-attention"])
     with pytest.raises(SystemExit):
         _build_config(args)
+
+
+def test_cli_train_resumable_resume(dataset, tmp_path, capsys):
+    """--resumable: the input position is checkpointed beside the model
+    state, and --restore picks the stream up instead of replaying it."""
+    args = ["--train-images", dataset["images"],
+            "--train-annotations", dataset["annotations"],
+            "--epochs", "2", "--learning-rate", "1e-4",
+            "--skip-epochs", "1", "--epochs-warm-up", "0",
+            "--metrics", str(tmp_path / "m.jsonl"),
+            "--resumable", *common(dataset, tmp_path)]
+    main(["train", *args])
+    capsys.readouterr()
+    ckpt = tmp_path / "ckpt"
+    sidecar = ckpt / "ongoing.dataset.json"
+    assert sidecar.exists()
+    saved = json.loads(sidecar.read_text())
+    assert saved["seed"] == 0 and saved["epoch"] >= 0
+
+    main(["train", "--restore", "ongoing", *args])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(json.loads(out)["final_loss"])
+    resumed = json.loads(sidecar.read_text())
+    # The stream moved forward from the restored position.
+    assert (resumed["epoch"], resumed["batch"]) > (
+        saved["epoch"], saved["batch"])

@@ -453,3 +453,96 @@ def test_train_flash_override_is_train_only():
     eval_flash = make_eval_step(flash_cfg)(state["params"], images)
     np.testing.assert_array_equal(np.asarray(eval_einsum),
                                   np.asarray(eval_flash))
+
+
+class _StatefulBatches:
+    """Duck-typed ResumableDataset: synthetic batches + get/set_state,
+    mirroring data/pipeline.py state semantics (batch counts consumed;
+    end of epoch rolls epoch+=1, batch=0)."""
+
+    def __init__(self, n_batches=3):
+        self.n = n_batches
+        self.epoch = 0
+        self.batch = 0
+
+    def get_state(self):
+        return {"epoch": self.epoch, "batch": self.batch, "seed": 0}
+
+    def set_state(self, state):
+        self.epoch = int(state["epoch"])
+        self.batch = int(state["batch"])
+
+    def __len__(self):
+        return self.n
+
+    def __iter__(self):
+        if self.batch >= self.n:
+            self.epoch += 1
+            self.batch = 0
+        while self.batch < self.n:
+            self.batch += 1
+            yield _batch()
+        self.epoch += 1
+        self.batch = 0
+
+
+def test_dataset_state_persists_with_checkpoint(tmp_path):
+    """The input-stream position saves as a sidecar next to the model
+    checkpoint and restore() loads it back — a resumed run continues the
+    data stream instead of replaying it from scratch."""
+    import json as _json
+    import os as _os
+
+    tc = dataclasses.replace(TC, skip_epochs=1, epochs_warm_up=0)
+    trainer = Trainer(TINY, LOSS, tc, checkpoint_dir=str(tmp_path))
+    state = trainer.init_state()
+    ds = _StatefulBatches(n_batches=3)
+    trainer.fit(state, ds, epochs=1)
+
+    sidecar = tmp_path / "ongoing.dataset.json"
+    assert sidecar.exists()
+    saved = _json.loads(sidecar.read_text())
+    # End of epoch 0: all 3 batches consumed.
+    assert saved == {"epoch": 0, "batch": 3, "seed": 0}
+
+    fresh = Trainer(TINY, LOSS, tc, checkpoint_dir=str(tmp_path))
+    assert fresh.dataset_resume_state is None
+    fresh.restore(fresh.init_state(seed=9), name="ongoing")
+    assert fresh.dataset_resume_state == saved
+    # Applying it rewinds a new stream to the exact next batch.
+    ds2 = _StatefulBatches(n_batches=3)
+    ds2.set_state(fresh.dataset_resume_state)
+    first_epoch_batches = list(ds2)
+    assert len(first_epoch_batches) == 3      # rolls into epoch 1
+    assert ds2.epoch == 2
+
+
+def test_dataset_sidecar_gc_and_staleness(tmp_path):
+    """Rolling GC removes pruned checkpoints' sidecars; a save with no
+    dataset state clears a stale same-name sidecar."""
+    from vision_transformer_detector_tpu.utils import checkpoint as ckpt_lib
+
+    trainer = Trainer(TINY, LOSS, TC, checkpoint_dir=str(tmp_path),
+                      keep_checkpoints=2)
+    state = trainer.init_state()
+    for step in (3, 7, 11):
+        state["step"] = jnp.asarray(step, jnp.int32)
+        trainer.dataset_resume_state = {"epoch": 0, "batch": step,
+                                        "seed": 0}
+        trainer.save_rolling(state)
+
+    names = {p.name for p in tmp_path.iterdir()}
+    kept = {ckpt_lib.step_checkpoint_name(s) for s in (7, 11)}
+    assert kept <= names
+    assert {n + ".dataset.json" for n in kept} <= names
+    doomed = ckpt_lib.step_checkpoint_name(3)
+    assert doomed not in names
+    assert doomed + ".dataset.json" not in names
+
+    # Same trainer, state cleared (e.g. switched to a materialized list):
+    # overwriting "ongoing" must not leave last run's sidecar behind.
+    trainer.save(state, name="ongoing")
+    assert (tmp_path / "ongoing.dataset.json").exists()
+    trainer.dataset_resume_state = None
+    trainer.save(state, name="ongoing")
+    assert not (tmp_path / "ongoing.dataset.json").exists()

@@ -68,15 +68,24 @@ def _build_config(args) -> DetectorConfig:
     return config.replace(**overrides) if overrides else config
 
 
-def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False):
+def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
+                   resumable=False):
     from .data.annotations import load_annotations_dict
-    from .data.pipeline import CocoDetectionDataset, list_image_paths
+    from .data.pipeline import (
+        CocoDetectionDataset, ResumableDataset, list_image_paths)
 
     annotations = load_annotations_dict(annotations_arg)
     start, end = args.images_range
     paths = list_image_paths(
         images_arg, images_range=(start, end if end >= 0 else None),
-        shuffle=shuffle, seed=0)
+        # ResumableDataset owns shuffling (a fresh deterministic
+        # permutation per epoch, seeded by (seed, epoch)) — pre-shuffling
+        # the path list here would just permute its input once.
+        shuffle=shuffle and not resumable, seed=0)
+    if resumable:
+        return ResumableDataset(
+            paths, annotations, config, batch_size=args.batch_size,
+            shuffle=shuffle, seed=getattr(args, "seed", 0))
     return CocoDetectionDataset(
         paths, annotations, config, batch_size=args.batch_size)
 
@@ -102,7 +111,8 @@ def cmd_train(args) -> None:
     loss_config = LossConfig()
 
     train_data = _build_dataset(args, config, args.train_images,
-                                args.train_annotations, shuffle=args.shuffle)
+                                args.train_annotations, shuffle=args.shuffle,
+                                resumable=args.resumable)
     eval_data = None
     if args.val_images and args.val_annotations:
         eval_data = _build_dataset(args, config, args.val_images,
@@ -121,6 +131,10 @@ def cmd_train(args) -> None:
         state = trainer.restore_latest(state)
     elif args.restore:
         state = trainer.restore(state, args.restore)
+    if args.resumable and trainer.dataset_resume_state is not None:
+        # restore() loaded the input position saved beside the checkpoint;
+        # rewind the stream to the exact next batch.
+        train_data.set_state(trainer.dataset_resume_state)
     state = trainer.fit(state, train_data, epochs=args.epochs,
                         eval_data=eval_data)
     trainer.save(state, name="final")
@@ -530,6 +544,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="store Adam moment state in bf16 (fp32 "
                         "arithmetic; ~12 ms/step and half the optimizer "
                         "HBM at ViT-L/16 640px — tools/bench_opt_dtypes)")
+    p.add_argument("--resumable", action="store_true",
+                   help="checkpointable input stream (ResumableDataset): "
+                        "the data position is saved next to every "
+                        "checkpoint and --restore resumes mid-epoch at "
+                        "the exact next batch instead of replaying from "
+                        "scratch (the reference restarts its dataset on "
+                        "every resume)")
     p.set_defaults(func=cmd_train)
 
     p = sub.add_parser("evaluate", help="compute mAP on a dataset")

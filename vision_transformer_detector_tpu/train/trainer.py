@@ -136,17 +136,25 @@ def make_predict_step(config: DetectorConfig):
 
 def evaluate_map(params, dataset: Iterable, config: DetectorConfig,
                  eval_step=None,
-                 metric: Optional[MeanAveragePrecision] = None) -> float:
+                 metric: Optional[MeanAveragePrecision] = None,
+                 put_fn=None) -> float:
     """Run the streaming mAP over a dataset (SaveModelHighestAP's evaluate,
-    vtd.py:2162-2172)."""
+    vtd.py:2162-2172).
+
+    ``put_fn`` places each image batch on device (Trainer passes
+    ``_put_images`` so eval batches shard over the data axis like train
+    batches do — without it a mesh run evaluates from one device's copy
+    and GSPMD pays an all-to-all reshard per batch)."""
     if eval_step is None:
         eval_step = make_eval_step(config)
     if metric is None:
         metric = MeanAveragePrecision(config)
     metric.reset_state()
     host_metric = isinstance(metric, MeanAveragePrecision)
+    if put_fn is None:
+        put_fn = jnp.asarray
     for images, labels in dataset:
-        decoded = eval_step(params, jnp.asarray(images))
+        decoded = eval_step(params, put_fn(images))
         # Only the host oracle needs the device->host copy; the jitted
         # metric consumes the device array directly (forcing np.asarray
         # re-added the round-trip it exists to eliminate).
@@ -288,6 +296,22 @@ class Trainer:
                 self.dataset_resume_state = snapshot
             yield batch_dev
 
+    def _put_images(self, images):
+        """Device placement for EVAL image batches: sharded over the data
+        axis like train batches. Eval tolerates what train rejects — a
+        final ragged batch that doesn't divide the data axis runs
+        unsharded instead of raising (mAP must include every image)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from ..parallel.data import global_batch_from_local
+            return global_batch_from_local(self.mesh, np.asarray(images))
+        images = jnp.asarray(images)
+        if self.mesh is None:
+            return images
+        data_size = self.mesh.shape[mesh_lib.DATA_AXIS]
+        if images.shape[0] % data_size != 0:
+            return images
+        return jax.device_put(images, mesh_lib.batch_sharding(self.mesh))
+
     def _put_batch(self, images, labels):
         if self.mesh is not None and jax.process_count() > 1:
             # Multi-host: each process holds only its local shard; a
@@ -364,7 +388,8 @@ class Trainer:
                 with self._mesh_context():
                     ap = evaluate_map(state["params"], eval_data,
                                       self.config, self.eval_step,
-                                      self.metric)
+                                      self.metric,
+                                      put_fn=self._put_images)
                 self.ap_record.append(ap)
                 record["ap"] = ap
                 if ap > self.best_ap:
@@ -407,6 +432,29 @@ class Trainer:
             self._async_ckpt.save(path, tree)
         else:
             ckpt_lib.save_checkpoint(path, tree)
+        self._save_dataset_state(path)
+
+    def _save_dataset_state(self, ckpt_path: str) -> None:
+        """Persist the input-stream position NEXT TO the model checkpoint.
+
+        A sidecar ``<name>.dataset.json`` (not inside the checkpoint
+        directory — orbax owns that path: async saves land via an atomic
+        temp-dir rename that would drop a foreign file). Written
+        synchronously; it is a few bytes. Without this, the
+        ResumableDataset position tracked by ``_device_prefetch`` dies
+        with the process and a resumed run replays data from scratch —
+        the exact behaviour ResumableDataset exists to prevent."""
+        sidecar = ckpt_path + ".dataset.json"
+        if self.dataset_resume_state is None:
+            # A stale sidecar from a previous run under the same name
+            # must not resurrect as this run's input position.
+            if os.path.exists(sidecar):
+                os.remove(sidecar)
+            return
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.dataset_resume_state, f)
+        os.replace(tmp, sidecar)
 
     def save_rolling(self, state: TrainState) -> str:
         """Step-stamped checkpoint + GC to the newest ``keep_checkpoints``.
@@ -485,4 +533,12 @@ class Trainer:
             restored = ckpt_lib.restore_checkpoint(path, template)
         self.best_ap = float(restored.pop("best_ap"))
         restored["step"] = jnp.asarray(restored["step"], jnp.int32)
+        # Input-stream position travels with the model checkpoint (only
+        # read once the tree restore SUCCEEDED — restore_latest probes
+        # partial checkpoints, whose sidecar must not leak in). The
+        # caller applies it: ``dataset.set_state(trainer.dataset_resume_state)``.
+        sidecar = path + ".dataset.json"
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                self.dataset_resume_state = json.load(f)
         return restored

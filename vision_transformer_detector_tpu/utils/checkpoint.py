@@ -129,6 +129,11 @@ def prune_checkpoints(directory: str, keep: int):
     removed = []
     for _, path in doomed:
         shutil.rmtree(path, ignore_errors=True)
+        # Input-position sidecar (Trainer._save_dataset_state) goes with
+        # its checkpoint; orphaned sidecars would accumulate forever.
+        sidecar = path + ".dataset.json"
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
         removed.append(path)
     return removed
 

@@ -141,3 +141,36 @@ def test_sequence_sharding_train_step():
         _, loss = trainer.train_step(state, images, labels,
                                      jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_dp_eval_matches_single_device():
+    """Eval batches shard over the data axis (Trainer._put_images) and
+    produce the same decoded predictions as a single-device eval; a
+    ragged final batch (not divisible by the axis) still evaluates,
+    unsharded."""
+    from vision_transformer_detector_tpu.train.trainer import make_eval_step
+
+    mesh = create_mesh(data=8, model=1)
+    trainer = Trainer(TINY, LossConfig(), TrainConfig(), mesh=mesh)
+    params = trainer.init_state()["params"]
+    images, _ = _batch(8)
+
+    placed = trainer._put_images(np.asarray(images))
+    assert placed.sharding.is_equivalent_to(batch_sharding(mesh), 4)
+    with mesh:
+        decoded_mesh = trainer.eval_step(params, placed)
+
+    single = Trainer(TINY, LossConfig(), TrainConfig())
+    decoded_single = single.eval_step(
+        jax.device_put(params, jax.devices()[0]), images)
+    np.testing.assert_allclose(np.asarray(decoded_mesh),
+                               np.asarray(decoded_single),
+                               rtol=1e-5, atol=1e-5)
+
+    ragged = trainer._put_images(np.asarray(images[:6]))
+    assert not ragged.sharding.is_equivalent_to(batch_sharding(mesh), 4)
+    with mesh:
+        decoded_ragged = trainer.eval_step(params, ragged)
+    np.testing.assert_allclose(np.asarray(decoded_ragged),
+                               np.asarray(decoded_single[:6]),
+                               rtol=1e-5, atol=1e-5)

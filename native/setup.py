@@ -22,5 +22,10 @@ setup(
             sources=["native/coco_json.cc"],
             extra_compile_args=["-O3", "-std=c++17", "-fvisibility=hidden"],
         ),
+        Extension(
+            "_native_coco_eval",
+            sources=["native/coco_eval.cc"],
+            extra_compile_args=["-O3", "-std=c++17", "-fvisibility=hidden"],
+        ),
     ],
 )

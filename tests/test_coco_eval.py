@@ -617,3 +617,75 @@ def test_randomized_cross_check_with_score_ties(seed):
         list(AREA_RANGES.values()), list(CocoEvaluator().max_dets))
     np.testing.assert_allclose(got.precision, want_p, atol=1e-12)
     np.testing.assert_allclose(got.recall, want_r, atol=1e-12)
+
+
+needs_native = pytest.mark.skipif(
+    not __import__(
+        "vision_transformer_detector_tpu.metrics.coco_eval",
+        fromlist=["native_matcher_available"]).native_matcher_available(),
+    reason="native matcher not built (tools/build_native.sh)")
+
+
+@needs_native
+def test_native_matcher_bit_equal_randomized():
+    """native/coco_eval.cc vs the pure-NumPy matcher: EXACT array
+    equality (same IEEE-double operation order), on scenes with crowds,
+    tied scores, tied IoUs, degenerate zero-area boxes, empty images and
+    det-only / gt-only categories."""
+    for seed in (3, 11, 42):
+        evs = {flag: CocoEvaluator(use_native=flag)
+               for flag in (True, False)}
+        rng = np.random.default_rng(seed)
+        for _ in range(120):
+            n_gt = int(rng.integers(0, 8))
+            n_dt = int(rng.integers(0, 25))
+            gt_boxes = rng.uniform(0, 500, (n_gt, 4))
+            gt_boxes[:, 2:] = rng.uniform(0, 120, (n_gt, 2))  # some 0-area
+            dt_boxes = rng.uniform(0, 500, (n_dt, 4))
+            dt_boxes[:, 2:] = rng.uniform(0, 120, (n_dt, 2))
+            kwargs = dict(
+                gt_boxes=gt_boxes,
+                gt_categories=rng.integers(1, 12, n_gt),
+                det_boxes=dt_boxes,
+                det_categories=rng.integers(1, 12, n_dt),
+                # Two-decimal scores force ranking ties.
+                det_scores=np.round(rng.uniform(0, 1, n_dt), 2),
+                gt_iscrowd=rng.uniform(size=n_gt) < 0.2)
+            for ev in evs.values():
+                ev.add_image(**kwargs)
+        got = evs[True].evaluate()
+        want = evs[False].evaluate()
+        np.testing.assert_array_equal(got.precision, want.precision)
+        np.testing.assert_array_equal(got.recall, want.recall)
+
+
+@needs_native
+def test_native_matcher_duplicate_boxes_and_identical_ious():
+    """Adversarial tie case: several detections with IDENTICAL boxes and
+    scores against identical ground truths — the greedy matcher's
+    last-max-wins / first-det-first ordering must agree exactly."""
+    gt = np.array([[10.0, 10, 20, 20], [10, 10, 20, 20]])
+    det = np.array([[10.0, 10, 20, 20]] * 3)
+    results = []
+    for flag in (True, False):
+        ev = CocoEvaluator(use_native=flag)
+        ev.add_image(gt_boxes=gt, gt_categories=[1, 1],
+                     det_boxes=det, det_categories=[1, 1, 1],
+                     det_scores=[0.5, 0.5, 0.5])
+        results.append(ev.evaluate())
+    np.testing.assert_array_equal(results[0].precision,
+                                  results[1].precision)
+    np.testing.assert_array_equal(results[0].recall, results[1].recall)
+    assert results[0].ap(iou=0.5) == pytest.approx(1.0)
+
+
+def test_use_native_flag_validation():
+    from vision_transformer_detector_tpu.metrics import coco_eval as ce
+
+    if ce.native_matcher_available():
+        assert CocoEvaluator().use_native is True
+        assert CocoEvaluator(use_native=False).use_native is False
+    else:
+        assert CocoEvaluator().use_native is False
+        with pytest.raises(RuntimeError):
+            CocoEvaluator(use_native=True)

@@ -251,3 +251,27 @@ def test_cli_train_resumable_resume(dataset, tmp_path, capsys):
     # The stream moved forward from the restored position.
     assert (resumed["epoch"], resumed["batch"]) > (
         saved["epoch"], saved["batch"])
+
+
+def test_cli_score_coco(tmp_path, capsys):
+    """score-coco: standalone official-protocol scoring of a results
+    JSON, no model/checkpoint involved."""
+    gt = {
+        "images": [{"id": 1}],
+        "annotations": [{"image_id": 1, "category_id": 1,
+                         "bbox": [10, 10, 40, 40], "area": 1600.0,
+                         "iscrowd": 0, "id": 1}],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    results = [{"image_id": 1, "category_id": 1,
+                "bbox": [10, 10, 40, 40], "score": 0.9}]
+    gt_path = tmp_path / "gt.json"
+    dt_path = tmp_path / "dt.json"
+    gt_path.write_text(json.dumps(gt))
+    dt_path.write_text(json.dumps(results))
+    main(["score-coco", "--annotations", str(gt_path),
+          "--results", str(dt_path)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["protocol"] == "coco"
+    assert out["AP"] == pytest.approx(1.0)
+    assert out["AP75"] == pytest.approx(1.0)

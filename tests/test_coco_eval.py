@@ -689,3 +689,87 @@ def test_use_native_flag_validation():
         assert CocoEvaluator().use_native is False
         with pytest.raises(RuntimeError):
             CocoEvaluator(use_native=True)
+
+
+def _write_json(path, payload):
+    import json
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    return str(path)
+
+
+def test_score_coco_results_instances_format(tmp_path):
+    """Standalone scorer on a full instances JSON: perfect detections +
+    one crowd-only detection (ignored, not a false positive) + a result
+    for an unknown image (dropped) -> AP = AR = 1.0."""
+    from vision_transformer_detector_tpu.metrics.coco_eval import (
+        score_coco_results)
+
+    gt = {
+        "images": [{"id": 1}, {"id": 2}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 40, 40],
+             "area": 1600.0, "iscrowd": 0, "id": 1},
+            {"image_id": 2, "category_id": 1, "bbox": [5, 5, 30, 30],
+             "area": 900.0, "iscrowd": 0, "id": 2},
+            {"image_id": 2, "category_id": 1, "bbox": [200, 200, 90, 90],
+             "area": 8100.0, "iscrowd": 1, "id": 3},
+        ],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    results = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 40, 40],
+         "score": 0.9},
+        {"image_id": 2, "category_id": 1, "bbox": [5, 5, 30, 30],
+         "score": 0.8},
+        # Overlaps only the crowd region: matched-to-ignored, never a FP.
+        {"image_id": 2, "category_id": 1, "bbox": [210, 210, 70, 70],
+         "score": 0.95},
+        # Unknown image id: dropped (pycocotools restricts to GT images).
+        {"image_id": 999, "category_id": 1, "bbox": [0, 0, 10, 10],
+         "score": 0.99},
+    ]
+    summary = score_coco_results(
+        _write_json(tmp_path / "gt.json", gt),
+        _write_json(tmp_path / "dt.json", results))
+    assert summary["AP"] == pytest.approx(1.0)
+    assert summary["AP50"] == pytest.approx(1.0)
+    assert summary["AR@100"] == pytest.approx(1.0)
+
+
+def test_score_coco_results_dict_format_and_misses(tmp_path):
+    """Annotation-dict ground truth (center-format rows, string image
+    ids vs int result ids) with one missed ground truth."""
+    from vision_transformer_detector_tpu.metrics.coco_eval import (
+        score_coco_results)
+
+    gt = {
+        "7": [[3, 30.0, 30.0, 20.0, 20.0, 400.0],
+              [3, 100.0, 100.0, 10.0, 10.0, 100.0]],
+        "8": [[3, 50.0, 50.0, 40.0, 40.0, 1600.0]],
+    }
+    results = [
+        # xywh of the first row: center (30,30), h=w=20 -> (20,20,20,20).
+        {"image_id": 7, "category_id": 3, "bbox": [20, 20, 20, 20],
+         "score": 0.9},
+        {"image_id": 8, "category_id": 3, "bbox": [30, 30, 40, 40],
+         "score": 0.7},
+    ]
+    summary = score_coco_results(
+        _write_json(tmp_path / "gt.json", gt),
+        _write_json(tmp_path / "dt.json", results))
+    # 2 of 3 ground truths found at every IoU threshold, no FPs:
+    # precision envelope = 1 up to recall 2/3 -> AP = 67/101.
+    assert summary["AP"] == pytest.approx(67 / 101, abs=1e-9)
+    assert summary["AR@100"] == pytest.approx(2 / 3, abs=1e-9)
+
+
+def test_score_coco_results_rejects_bad_results(tmp_path):
+    from vision_transformer_detector_tpu.metrics.coco_eval import (
+        score_coco_results)
+
+    gt = {"7": [[3, 30.0, 30.0, 20.0, 20.0, 400.0]]}
+    with pytest.raises(ValueError):
+        score_coco_results(
+            _write_json(tmp_path / "gt.json", gt),
+            _write_json(tmp_path / "dt.json", {"not": "a list"}))

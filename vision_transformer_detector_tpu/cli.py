@@ -192,6 +192,17 @@ def cmd_evaluate(args) -> None:
         print(json.dumps({"mAP": ap}))
 
 
+def cmd_score_coco(args) -> None:
+    """Standalone official-protocol scoring: any COCO results JSON vs
+    ground truth, no model or device involved (the pycocotools
+    ``COCOeval(gt, dt, 'bbox')`` flow, using this framework's evaluator
+    + native matcher core)."""
+    from .metrics.coco_eval import score_coco_results
+
+    summary = score_coco_results(args.annotations, args.results)
+    print(json.dumps({"protocol": "coco", **summary}))
+
+
 def cmd_predict(args) -> None:
     import numpy as np
 
@@ -574,6 +585,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "(original-frame pixels, COCO category ids) for "
                         "re-scoring with pycocotools elsewhere")
     p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser(
+        "score-coco",
+        help="score a COCO results JSON against ground truth (official "
+             "protocol; no model involved — a pycocotools replacement)")
+    p.add_argument("--annotations", required=True,
+                   help="a full COCO instances JSON (bbox/area/iscrowd "
+                        "used directly, crowd-ignore semantics) or an "
+                        "annotation-dict JSON (data/annotations.py)")
+    p.add_argument("--results", required=True,
+                   help="standard COCO results list (what evaluate "
+                        "--dump-detections writes)")
+    p.set_defaults(func=cmd_score_coco)
 
     p = sub.add_parser("predict", help="decoded detections as json")
     common(p, needs_images=True)

@@ -604,3 +604,88 @@ def evaluate_coco_protocol(params, dataset, config, eval_step=None,
             evaluator, np.asarray(labels), np.asarray(decoded),
             objectness_threshold, class_confidence_threshold)
     return evaluator.evaluate().summarize()
+
+
+def score_coco_results(annotations_path: str, results_path: str,
+                       evaluator: Optional[CocoEvaluator] = None
+                       ) -> Dict[str, float]:
+    """Score a standard COCO results JSON against ground truth — the
+    pycocotools ``COCOeval(gt, dt, 'bbox').summarize()`` flow, standalone.
+
+    ``annotations_path`` accepts either format this framework touches:
+
+      * a full COCO instances JSON (``{"images", "annotations", ...}``):
+        raw ``bbox``/``area``/``iscrowd`` are used directly, so crowd
+        regions get the official ignore semantics (the reference's dict
+        format cannot represent them — vtu.py:139-152 drops iscrowd),
+      * the annotation-dict JSON (``{image_id: [[cat, cx, cy, h, w,
+        area], ...]}``, data/annotations.py) as a fallback, without
+        crowd information.
+
+    ``results_path`` is the standard detections list
+    ``[{"image_id", "category_id", "bbox": [x, y, w, h], "score"}, ...]``
+    (what ``evaluate --dump-detections`` writes, and what any external
+    detector exports for pycocotools).
+
+    Images present in the ground truth but absent from the results still
+    count (their ground truths are unmatched positives); detections for
+    images with no ground-truth entry are dropped, as pycocotools
+    restricts evaluation to the ground truth's image ids.
+    """
+    import json
+
+    with open(annotations_path) as f:
+        gt_payload = json.load(f)
+    with open(results_path) as f:
+        results = json.load(f)
+    if not isinstance(results, list):
+        raise ValueError(
+            f"{results_path}: expected a COCO results LIST, got "
+            f"{type(results).__name__}")
+
+    det_by_image: Dict[object, list] = {}
+    for det in results:
+        det_by_image.setdefault(det["image_id"], []).append(det)
+
+    if evaluator is None:
+        evaluator = CocoEvaluator()
+
+    def _add(image_key, gt_rows):
+        # gt_rows: (boxes_xywh, categories, areas, iscrowd) arrays.
+        dets = det_by_image.get(image_key, [])
+        evaluator.add_image(
+            gt_boxes=gt_rows[0], gt_categories=gt_rows[1],
+            gt_areas=gt_rows[2], gt_iscrowd=gt_rows[3],
+            det_boxes=[d["bbox"] for d in dets],
+            det_scores=[d["score"] for d in dets],
+            det_categories=[d["category_id"] for d in dets])
+
+    if isinstance(gt_payload, dict) and "annotations" in gt_payload \
+            and "images" in gt_payload:
+        anns_by_image: Dict[object, list] = {}
+        for ann in gt_payload["annotations"]:
+            anns_by_image.setdefault(ann["image_id"], []).append(ann)
+        for img in gt_payload["images"]:
+            anns = anns_by_image.get(img["id"], [])
+            _add(img["id"], (
+                [a["bbox"] for a in anns],
+                [a["category_id"] for a in anns],
+                [a.get("area", a["bbox"][2] * a["bbox"][3])
+                 for a in anns],
+                [bool(a.get("iscrowd", 0)) for a in anns]))
+    elif isinstance(gt_payload, dict):
+        # Annotation-dict format: {image_id: [[cat, cx, cy, h, w, area]]}.
+        # Results image_ids may be ints while dict keys are strings.
+        for image_key, rows in gt_payload.items():
+            key = int(image_key) if str(image_key).isdigit() else image_key
+            _add(key if key in det_by_image else image_key, (
+                [(r[1] - r[4] / 2.0, r[2] - r[3] / 2.0, r[4], r[3])
+                 for r in rows],
+                [int(r[0]) for r in rows],
+                [float(r[5]) for r in rows],
+                [False] * len(rows)))
+    else:
+        raise ValueError(
+            f"{annotations_path}: expected a COCO instances JSON or an "
+            "annotation-dict JSON")
+    return evaluator.evaluate().summarize()

@@ -773,3 +773,29 @@ def test_score_coco_results_rejects_bad_results(tmp_path):
         score_coco_results(
             _write_json(tmp_path / "gt.json", gt),
             _write_json(tmp_path / "dt.json", {"not": "a list"}))
+
+
+def test_per_category_breakdown_in_summary(tmp_path):
+    from vision_transformer_detector_tpu.metrics.coco_eval import (
+        score_coco_results)
+
+    gt = {
+        "images": [{"id": 1}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 40, 40],
+             "area": 1600.0, "iscrowd": 0, "id": 1},
+            {"image_id": 1, "category_id": 2, "bbox": [100, 100, 40, 40],
+             "area": 1600.0, "iscrowd": 0, "id": 2},
+        ],
+        "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+    }
+    results = [{"image_id": 1, "category_id": 1,
+                "bbox": [10, 10, 40, 40], "score": 0.9}]  # cat 2 missed
+    import json as _json
+    gt_p = tmp_path / "g.json"; gt_p.write_text(_json.dumps(gt))
+    dt_p = tmp_path / "d.json"; dt_p.write_text(_json.dumps(results))
+    summary = score_coco_results(str(gt_p), str(dt_p), per_category=True)
+    per = summary["AP_per_category"]
+    assert per["1"] == pytest.approx(1.0)
+    assert per["2"] == pytest.approx(0.0)
+    assert summary["AP"] == pytest.approx(0.5)

@@ -172,7 +172,8 @@ def cmd_evaluate(args) -> None:
             batch_size=args.batch_size,
             objectness_threshold=args.objectness_threshold,
             images_range=(start, end if end >= 0 else None),
-            dump_detections=dump)
+            dump_detections=dump,
+            per_category=args.per_category)
         out = {"protocol": "coco-original", **summary}
         if dump:
             out["dumped_detections"] = dump
@@ -185,7 +186,8 @@ def cmd_evaluate(args) -> None:
 
         summary = evaluate_coco_protocol(
             state["params"], data, config,
-            objectness_threshold=args.objectness_threshold)
+            objectness_threshold=args.objectness_threshold,
+            per_category=args.per_category)
         print(json.dumps({"protocol": "coco", **summary}))
     else:
         ap = evaluate_map(state["params"], data, config)
@@ -199,7 +201,8 @@ def cmd_score_coco(args) -> None:
     + native matcher core)."""
     from .metrics.coco_eval import score_coco_results
 
-    summary = score_coco_results(args.annotations, args.results)
+    summary = score_coco_results(args.annotations, args.results,
+                                 per_category=args.per_category)
     print(json.dumps({"protocol": "coco", **summary}))
 
 
@@ -584,6 +587,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "detection in the standard COCO results format "
                         "(original-frame pixels, COCO category ids) for "
                         "re-scoring with pycocotools elsewhere")
+    p.add_argument("--per-category", action="store_true",
+                   help="coco protocols: include the per-class AP "
+                        "breakdown (AP_per_category) in the summary")
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser(
@@ -597,6 +603,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results", required=True,
                    help="standard COCO results list (what evaluate "
                         "--dump-detections writes)")
+    p.add_argument("--per-category", action="store_true",
+                   help="include the per-class AP breakdown")
     p.set_defaults(func=cmd_score_coco)
 
     p = sub.add_parser("predict", help="decoded detections as json")

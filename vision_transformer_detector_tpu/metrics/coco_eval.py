@@ -489,13 +489,25 @@ def update_from_fixed_slots(evaluator: CocoEvaluator, labels: np.ndarray,
             det_categories=det_categories)
 
 
+
+def _protocol_summary(results: "CocoEvalResults",
+                      per_category: bool) -> Dict[str, float]:
+    out = results.summarize()
+    if per_category:
+        # str keys: this dict is routinely json.dump'd (CLI output).
+        out["AP_per_category"] = {
+            str(k): v for k, v in results.per_category().items()}
+    return out
+
+
 def evaluate_coco_protocol_original_frame(
         params, image_dir: str, annotations: dict, config,
         batch_size: int = 8, eval_step=None,
         objectness_threshold: float = 0.0,
         class_confidence_threshold: float = 0.0,
         images_range=None,
-        dump_detections: Optional[str] = None) -> Dict[str, float]:
+        dump_detections: Optional[str] = None,
+        per_category: bool = False) -> Dict[str, float]:
     """Official protocol in ORIGINAL image coordinates.
 
     ``dump_detections`` additionally writes every detection (pre-eval,
@@ -582,12 +594,13 @@ def evaluate_coco_protocol_original_frame(
 
         with open(dump_detections, "w") as f:
             json.dump(dumped, f)
-    return evaluator.evaluate().summarize()
+    return _protocol_summary(evaluator.evaluate(), per_category)
 
 
 def evaluate_coco_protocol(params, dataset, config, eval_step=None,
                            objectness_threshold: float = 0.0,
-                           class_confidence_threshold: float = 0.0
+                           class_confidence_threshold: float = 0.0,
+                           per_category: bool = False
                            ) -> Dict[str, float]:
     """Official-protocol twin of train.trainer.evaluate_map: run the model
     over ``dataset`` and return the 12 standard COCO summary metrics."""
@@ -603,12 +616,12 @@ def evaluate_coco_protocol(params, dataset, config, eval_step=None,
         update_from_fixed_slots(
             evaluator, np.asarray(labels), np.asarray(decoded),
             objectness_threshold, class_confidence_threshold)
-    return evaluator.evaluate().summarize()
+    return _protocol_summary(evaluator.evaluate(), per_category)
 
 
 def score_coco_results(annotations_path: str, results_path: str,
-                       evaluator: Optional[CocoEvaluator] = None
-                       ) -> Dict[str, float]:
+                       evaluator: Optional[CocoEvaluator] = None,
+                       per_category: bool = False) -> Dict[str, float]:
     """Score a standard COCO results JSON against ground truth — the
     pycocotools ``COCOeval(gt, dt, 'bbox').summarize()`` flow, standalone.
 
@@ -688,4 +701,4 @@ def score_coco_results(annotations_path: str, results_path: str,
         raise ValueError(
             f"{annotations_path}: expected a COCO instances JSON or an "
             "annotation-dict JSON")
-    return evaluator.evaluate().summarize()
+    return _protocol_summary(evaluator.evaluate(), per_category)

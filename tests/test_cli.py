@@ -275,3 +275,15 @@ def test_cli_score_coco(tmp_path, capsys):
     assert out["protocol"] == "coco"
     assert out["AP"] == pytest.approx(1.0)
     assert out["AP75"] == pytest.approx(1.0)
+
+
+def test_cli_doctor_reports_dead_backend(tmp_path, capsys):
+    """doctor: a backend that cannot answer within the probe deadline is
+    reported dead (not hung-on), native-extension flags are present, and
+    the exit code is nonzero."""
+    with pytest.raises(SystemExit) as exc:
+        main(["doctor", "--probe-timeout", "0.05"])
+    assert exc.value.code == 1
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["device"]["ok"] is False
+    assert set(report["native"]) == {"coco_json", "pipeline", "coco_eval"}

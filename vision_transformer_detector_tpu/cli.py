@@ -453,6 +453,68 @@ def cmd_plot(args) -> None:
     print(json.dumps({"written": path}))
 
 
+def cmd_doctor(args) -> None:
+    """Environment health report: accelerator reachability (probed in a
+    subprocess so a hung tunnel reads as dead instead of wedging this
+    process — docs/DESIGN.md failure mode 5), native extensions, and
+    virtual-mesh capability. One JSON object on stdout; exit code 0 iff
+    the device probe passed."""
+    import subprocess
+    import sys as _sys
+
+    report: dict = {}
+    code = ("import jax, jax.numpy as jnp; d = jax.devices()[0]; "
+            "x = jax.device_put(jnp.ones((8, 8)), d); "
+            "print(d.platform, len(jax.devices()), float(x.sum()))")
+    try:
+        probe = subprocess.run([_sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=args.probe_timeout)
+        if probe.returncode == 0 and probe.stdout.strip():
+            platform, count, _ = probe.stdout.split()
+            report["device"] = {"ok": True, "platform": platform,
+                                "count": int(count)}
+        else:
+            report["device"] = {
+                "ok": False,
+                "error": (probe.stderr.strip().splitlines() or ["?"])[-1]}
+    except subprocess.TimeoutExpired:
+        report["device"] = {
+            "ok": False,
+            "error": f"backend did not answer within {args.probe_timeout}s "
+                     "(hung tunnel?)"}
+
+    from .data import annotations as _ann
+    from .data import pipeline as _pipe
+    from .metrics import coco_eval as _ce
+    report["native"] = {
+        "coco_json": _ann.native_parser_available(),
+        "pipeline": _pipe.native_available(),
+        "coco_eval": _ce.native_matcher_available(),
+    }
+
+    # Virtual CPU mesh (what tests and dryrun_multichip rely on): probed
+    # in a subprocess too — it needs XLA_FLAGS set before backend init.
+    mesh_code = (
+        "import os; os.environ['XLA_FLAGS'] = "
+        "os.environ.get('XLA_FLAGS', '') + "
+        "' --xla_force_host_platform_device_count=8'; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "print(len(jax.devices()))")
+    try:
+        mesh = subprocess.run([_sys.executable, "-c", mesh_code],
+                              capture_output=True, text=True,
+                              timeout=args.probe_timeout)
+        report["virtual_mesh_8"] = (mesh.returncode == 0
+                                    and mesh.stdout.strip() == "8")
+    except subprocess.TimeoutExpired:
+        report["virtual_mesh_8"] = False
+
+    print(json.dumps(report))
+    if not report["device"]["ok"]:
+        raise SystemExit(1)
+
+
 def cmd_benchmark(args) -> None:
     """Standardized throughput measurement for any config on this host's
     device — the reference measured throughput by eyeballing notebook
@@ -718,6 +780,15 @@ def build_parser() -> argparse.ArgumentParser:
                    default="inference")
     p.add_argument("--iterations", type=int, default=10)
     p.set_defaults(func=cmd_benchmark)
+
+    p = sub.add_parser(
+        "doctor",
+        help="environment health: device probe (hang-safe), native "
+             "extensions, virtual-mesh capability")
+    p.add_argument("--probe-timeout", type=float, default=120.0,
+                   help="seconds before an unresponsive backend is "
+                        "reported dead")
+    p.set_defaults(func=cmd_doctor)
 
     return parser
 

@@ -517,19 +517,25 @@ def test_dataset_state_persists_with_checkpoint(tmp_path):
     assert ds2.epoch == 2
 
 
-def test_dataset_sidecar_gc_and_staleness(tmp_path):
+@pytest.mark.parametrize("async_ckpt", [False, True])
+def test_dataset_sidecar_gc_and_staleness(tmp_path, async_ckpt):
     """Rolling GC removes pruned checkpoints' sidecars; a save with no
-    dataset state clears a stale same-name sidecar."""
+    dataset state clears a stale same-name sidecar. Same behaviour with
+    async checkpointing (the sidecar write is synchronous either way)."""
     from vision_transformer_detector_tpu.utils import checkpoint as ckpt_lib
 
     trainer = Trainer(TINY, LOSS, TC, checkpoint_dir=str(tmp_path),
-                      keep_checkpoints=2)
+                      keep_checkpoints=2, async_checkpointing=async_ckpt)
     state = trainer.init_state()
     for step in (3, 7, 11):
         state["step"] = jnp.asarray(step, jnp.int32)
         trainer.dataset_resume_state = {"epoch": 0, "batch": step,
                                         "seed": 0}
         trainer.save_rolling(state)
+        # Async: join the pending write so each save_rolling's GC sees
+        # the materialized directory (pruning is defined over
+        # materialized checkpoints only).
+        trainer.wait_for_checkpoints()
 
     names = {p.name for p in tmp_path.iterdir()}
     kept = {ckpt_lib.step_checkpoint_name(s) for s in (7, 11)}

@@ -463,11 +463,17 @@ class Trainer:
         pruning only ever removes OLDER step directories, so the pending
         write is never touched.
         """
-        name = ckpt_lib.step_checkpoint_name(int(state["step"]))
+        step = int(state["step"])
+        name = ckpt_lib.step_checkpoint_name(step)
         self.save(state, name=name)
         if self.keep_checkpoints:
-            ckpt_lib.prune_checkpoints(self.checkpoint_dir,
-                                       self.keep_checkpoints)
+            # pending_step: with async checkpointing the save above is
+            # still in flight (invisible to the directory listing) but
+            # must occupy one of the keep slots.
+            ckpt_lib.prune_checkpoints(
+                self.checkpoint_dir, self.keep_checkpoints,
+                pending_step=step if self._async_ckpt is not None
+                else None)
         return os.path.join(self.checkpoint_dir, name)
 
     def restore_latest(self, state: TrainState) -> TrainState:

@@ -113,18 +113,32 @@ def latest_checkpoint(directory: str):
     return entries[-1][1] if entries else None
 
 
-def prune_checkpoints(directory: str, keep: int):
+def prune_checkpoints(directory: str, keep: int, pending_step=None):
     """Delete all but the newest ``keep`` step-stamped checkpoints.
 
     Only ``step_*`` directories are touched — named checkpoints
     (``highest_ap``, ``ongoing``) and ``config.json`` are never pruned.
     Returns the removed paths.
+
+    ``pending_step``: a step whose checkpoint write is still in flight
+    (async saves land via an atomic rename, so the directory is not
+    listed yet). It counts toward the ``keep`` window — without this,
+    every async save_rolling pruned against a list missing its own
+    newest entry and retained keep+1 checkpoints.
     """
     import shutil
 
     if keep < 0:
         raise ValueError(f"keep must be >= 0, got {keep}")
     entries = list_step_checkpoints(directory)
+    if pending_step is not None:
+        pending = int(pending_step)
+        listed = {step for step, _ in entries}
+        if pending not in listed and keep and sorted(
+                listed | {pending})[-keep:].count(pending):
+            # The pending write occupies one of the keep slots; one
+            # fewer materialized checkpoint survives.
+            keep -= 1
     doomed = entries[:-keep] if keep else entries
     removed = []
     for _, path in doomed:

@@ -1,0 +1,101 @@
+"""Worker for tests/test_multiprocess.py: one REAL jax.distributed process.
+
+Run as:  python multiprocess_worker.py <pid> <nprocs> <port> <out.json>
+
+Each process owns ONE CPU device of an nprocs-device global mesh (true
+multi-host SPMD topology, the shape the env-gated TPU-pod path uses —
+gloo collectives stand in for ICI). The worker:
+
+  1. brings up jax.distributed (parallel.data.initialize_distributed),
+  2. builds the trainer state as GLOBAL arrays (Trainer.init_state's
+     multi-process path),
+  3. assembles global batches from process-LOCAL shards
+     (parallel.data.global_batch_from_local via Trainer._put_batch),
+  4. runs two DP train steps whose gradient psum crosses the process
+     boundary,
+  5. computes the same two steps single-device on the full batch as the
+     ground truth, and writes both losses as JSON (process 0).
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main() -> None:
+    pid, nprocs, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
+                                   sys.argv[3], sys.argv[4])
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from vision_transformer_detector_tpu.parallel.data import (
+        initialize_distributed)
+
+    initialize_distributed(f"127.0.0.1:{port}", nprocs, pid)
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert jax.local_device_count() == 1
+
+    import jax.numpy as jnp
+
+    from vision_transformer_detector_tpu.config import (
+        DetectorConfig, LossConfig, TrainConfig)
+    from vision_transformer_detector_tpu.parallel.mesh import create_mesh
+    from vision_transformer_detector_tpu.train.trainer import (
+        Trainer, create_train_state, make_train_step)
+
+    cfg = DetectorConfig(
+        image_size=(32, 32), patch_size=16, embedding_dim=8, num_heads=2,
+        key_dim=4, encoder_blocks=1, encoder_mlp_layers=2,
+        head_last_units=8, head_layers=1)
+    tc = TrainConfig(learning_rate=1e-3)
+
+    # Deterministic FULL batch, identical on every process; each process
+    # feeds only its contiguous shard (batch 4 = 2 per process).
+    rng = np.random.default_rng(0)
+    full_images = rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32)
+    full_labels = np.full((4, cfg.max_objects, 6), -8.0, np.float32)
+    full_labels[..., 0] = 0.0
+    for i in range(4):
+        full_labels[i, 0] = (1, i % 80, 16.0, 16.0, 10.0, 10.0)
+    per = 4 // nprocs
+    local_images = full_images[pid * per:(pid + 1) * per]
+    local_labels = full_labels[pid * per:(pid + 1) * per]
+
+    mesh = create_mesh(data=nprocs, model=1)
+    trainer = Trainer(cfg, LossConfig(), tc, mesh=mesh)
+    state = trainer.init_state()
+    # Global arrays: every process sees the full logical shape.
+    assert state["params"]["linear_projection"]["kernel"].ndim == 2
+    step_rng = jax.random.PRNGKey(7)
+
+    losses_dist = []
+    for _ in range(2):
+        images, labels = trainer._put_batch(local_images, local_labels)
+        assert images.shape[0] == 4, images.shape  # global batch
+        with mesh:
+            state, loss = trainer.train_step(state, images, labels,
+                                             step_rng)
+        losses_dist.append(float(loss))
+
+    # Ground truth: the same two steps, one device, full batch.
+    optimizer = trainer.optimizer
+    ref_state = create_train_state(jax.random.PRNGKey(tc.seed), cfg,
+                                   optimizer)
+    ref_step = make_train_step(cfg, LossConfig(), optimizer, donate=False)
+    losses_single = []
+    for _ in range(2):
+        ref_state, loss = ref_step(ref_state, jnp.asarray(full_images),
+                                   jnp.asarray(full_labels), step_rng)
+        losses_single.append(float(loss))
+
+    if pid == 0:
+        with open(out_path, "w") as f:
+            json.dump({"dist": losses_dist, "single": losses_single}, f)
+    print(f"proc {pid}: dist={losses_dist} single={losses_single}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

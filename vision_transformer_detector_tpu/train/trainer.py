@@ -248,6 +248,8 @@ class Trainer:
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         rng = jax.random.PRNGKey(
             self.train_config.seed if seed is None else seed)
+        if self.mesh is not None and jax.process_count() > 1:
+            return self._init_state_multiprocess(rng)
         params = init_params(rng, self.config)
         if self.mesh is not None:
             # Shard params first; optimizer.init builds its moments with
@@ -260,6 +262,37 @@ class Trainer:
         if self.mesh is not None:
             step = jax.device_put(step, mesh_lib.replicated(self.mesh))
         return {"params": params, "opt_state": opt_state, "step": step}
+
+    def _init_state_multiprocess(self, rng) -> TrainState:
+        """Init under real multi-process SPMD (jax.distributed).
+
+        ``jax.device_put(host_array, sharding)`` cannot target another
+        process's devices, so the single-process path above raises on a
+        multi-host mesh. Instead the whole init runs as ONE jitted
+        program whose params carry sharding constraints; every process
+        executes it and receives its addressable shards of the same
+        global arrays (moments inherit the param layout through
+        optimizer.init's zeros_like, as in the single-process path).
+        The rng is passed as a host numpy array — jit treats host inputs
+        as replicated, which is exactly right since every process
+        derives the identical key.
+        """
+        shardings = mesh_lib.param_shardings(
+            jax.eval_shape(lambda r: init_params(r, self.config), rng),
+            self.mesh)
+
+        def _init(raw_key):
+            params = init_params(raw_key, self.config)
+            params = jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, params, shardings)
+            return {
+                "params": params,
+                "opt_state": self.optimizer.init(params),
+                "step": jnp.zeros((), jnp.int32),
+            }
+
+        with self.mesh:
+            return jax.jit(_init)(np.asarray(rng))
 
     def _mesh_context(self):
         """Trace/jit inside the Mesh context so bare-PartitionSpec sharding

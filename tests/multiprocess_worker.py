@@ -26,6 +26,7 @@ import numpy as np
 def main() -> None:
     pid, nprocs, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                    sys.argv[3], sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -59,11 +60,15 @@ def main() -> None:
     full_labels[..., 0] = 0.0
     for i in range(4):
         full_labels[i, 0] = (1, i % 80, 16.0, 16.0, 10.0, 10.0)
-    per = 4 // nprocs
-    local_images = full_images[pid * per:(pid + 1) * per]
-    local_labels = full_labels[pid * per:(pid + 1) * per]
-
-    mesh = create_mesh(data=nprocs, model=1)
+    if mode == "dp":
+        per = 4 // nprocs
+        local_images = full_images[pid * per:(pid + 1) * per]
+        local_labels = full_labels[pid * per:(pid + 1) * per]
+        mesh = create_mesh(data=nprocs, model=1)
+    else:  # tp: batch replicated over the model axis, params sharded —
+        # every process feeds the FULL batch as its "local" shard.
+        local_images, local_labels = full_images, full_labels
+        mesh = create_mesh(data=1, model=nprocs)
     trainer = Trainer(cfg, LossConfig(), tc, mesh=mesh)
     state = trainer.init_state()
     # Global arrays: every process sees the full logical shape.
@@ -90,11 +95,37 @@ def main() -> None:
                                    jnp.asarray(full_labels), step_rng)
         losses_single.append(float(loss))
 
+    result = {"dist": losses_dist, "single": losses_single}
+
+    if mode == "tp":
+        # Multi-process checkpoint roundtrip: the orbax save is
+        # collective (each process writes its addressable shards of the
+        # TP-sharded params); restore into a fresh global template and
+        # compare on-device (np.asarray of a non-fully-addressable
+        # array is not allowed — reduce to a replicated scalar).
+        import tempfile
+
+        ckpt_dir = f"{out_path}.ckpt"
+        trainer.checkpoint_dir = ckpt_dir
+        trainer.save(state, name="ongoing")
+        fresh = trainer.init_state(seed=99)
+        restored = trainer.restore(fresh, name="ongoing")
+
+        def sq_diff(a, b):
+            return sum(jnp.sum((x - y) ** 2)
+                       for x, y in zip(jax.tree_util.tree_leaves(a),
+                                       jax.tree_util.tree_leaves(b)))
+
+        with mesh:
+            result["ckpt_param_sq_diff"] = float(
+                jax.jit(sq_diff)(state["params"], restored["params"]))
+            result["fresh_param_sq_diff"] = float(
+                jax.jit(sq_diff)(state["params"], fresh["params"]))
+
     if pid == 0:
         with open(out_path, "w") as f:
-            json.dump({"dist": losses_dist, "single": losses_single}, f)
-    print(f"proc {pid}: dist={losses_dist} single={losses_single}",
-          flush=True)
+            json.dump(result, f)
+    print(f"proc {pid}: {result}", flush=True)
 
 
 if __name__ == "__main__":

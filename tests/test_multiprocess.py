@@ -29,7 +29,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_matches_single_device(tmp_path):
+@pytest.mark.parametrize("mode", ["dp", "tp"])
+def test_two_process_training_matches_single_device(tmp_path, mode):
+    """dp: gradient psum crosses the process boundary. tp: megatron
+    param shardings + their all-gathers/reduces cross it, then a
+    COLLECTIVE orbax checkpoint round-trips the TP-sharded state."""
     out = tmp_path / "mp.json"
     port = _free_port()
     env = dict(os.environ)
@@ -40,7 +44,8 @@ def test_two_process_dp_matches_single_device(tmp_path):
         if "xla_force_host_platform_device_count" not in f)
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(pid), "2", str(port), str(out)],
+        [sys.executable, _WORKER, str(pid), "2", str(port), str(out),
+         mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in range(2)]
     logs = []
@@ -56,9 +61,12 @@ def test_two_process_dp_matches_single_device(tmp_path):
         assert p.returncode == 0, log[-2000:]
 
     results = json.loads(out.read_text())
-    # DP across a REAL process boundary equals the single-device run on
-    # the full batch (psum over gloo; fp32 reassociation only).
+    # Across a REAL process boundary equals the single-device run on
+    # the full batch (collectives over gloo; fp32 reassociation only).
     np.testing.assert_allclose(results["dist"], results["single"],
                                rtol=1e-5)
     # Training progressed (two distinct steps).
     assert results["dist"][1] < results["dist"][0]
+    if mode == "tp":
+        assert results["ckpt_param_sq_diff"] == 0.0
+        assert results["fresh_param_sq_diff"] > 1.0

@@ -219,7 +219,11 @@ class Trainer:
             self.metric = JitMeanAveragePrecision(config)
         else:
             self.metric = MeanAveragePrecision(config)
-        self.metrics = MetricsWriter(metrics_path)
+        # Multi-host: only process 0 streams metrics — N processes
+        # appending the same jsonl interleave records (every process
+        # computes identical replicated values anyway).
+        self.metrics = MetricsWriter(
+            metrics_path if jax.process_index() == 0 else None)
         # Async checkpointing: saves overlap training (the loop pays only
         # the device->host snapshot); fit() joins pending writes on exit.
         self._async_ckpt = (ckpt_lib.AsyncCheckpointManager()
@@ -450,9 +454,15 @@ class Trainer:
     def save(self, state: TrainState, name: str = "ongoing") -> None:
         from ..config import save_configs
 
+        # Multi-host: the orbax tree save below is collective (every
+        # process participates, each writing its addressable shards),
+        # but the plain host files (config.json, the dataset sidecar)
+        # must be written by ONE process — concurrent writers racing on
+        # shared checkpoint storage can interleave/truncate them.
+        primary = jax.process_index() == 0
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         config_path = os.path.join(self.checkpoint_dir, "config.json")
-        if not os.path.exists(config_path):
+        if primary and not os.path.exists(config_path):
             # The run is reproducible from its checkpoint dir alone.
             save_configs(config_path, self.config, self.loss_config,
                          self.train_config)
@@ -460,12 +470,24 @@ class Trainer:
         tree = {"params": state["params"],
                 "opt_state": state["opt_state"],
                 "step": state["step"],
-                "best_ap": jnp.float32(self.best_ap)}
+                "best_ap": self._global_scalar(self.best_ap)}
         if self._async_ckpt is not None:
             self._async_ckpt.save(path, tree)
         else:
             ckpt_lib.save_checkpoint(path, tree)
-        self._save_dataset_state(path)
+        if primary:
+            self._save_dataset_state(path)
+
+    def _global_scalar(self, value: float) -> jnp.ndarray:
+        """fp32 scalar for the checkpoint tree: plain on one process, a
+        replicated GLOBAL array on a multi-process mesh (orbax cannot
+        serialize host-local single-device arrays in a multi-host save —
+        every leaf must be a global jax.Array there)."""
+        if self.mesh is None or jax.process_count() == 1:
+            return jnp.float32(value)
+        return jax.make_array_from_process_local_data(
+            mesh_lib.replicated(self.mesh),
+            np.asarray(value, np.float32))
 
     def _save_dataset_state(self, ckpt_path: str) -> None:
         """Persist the input-stream position NEXT TO the model checkpoint.
@@ -499,7 +521,7 @@ class Trainer:
         step = int(state["step"])
         name = ckpt_lib.step_checkpoint_name(step)
         self.save(state, name=name)
-        if self.keep_checkpoints:
+        if self.keep_checkpoints and jax.process_index() == 0:
             # pending_step: with async checkpointing the save above is
             # still in flight (invisible to the directory listing) but
             # must occupy one of the keep slots.
@@ -565,7 +587,7 @@ class Trainer:
         template = {"params": state["params"],
                     "opt_state": state["opt_state"],
                     "step": state["step"],
-                    "best_ap": jnp.float32(0.0)}
+                    "best_ap": self._global_scalar(0.0)}
         if self._async_ckpt is not None:
             restored = self._async_ckpt.restore(path, template)
         else:

@@ -65,30 +65,49 @@ def main() -> None:
         local_images = full_images[pid * per:(pid + 1) * per]
         local_labels = full_labels[pid * per:(pid + 1) * per]
         mesh = create_mesh(data=nprocs, model=1)
-    else:  # tp: batch replicated over the model axis, params sharded —
-        # every process feeds the FULL batch as its "local" shard.
+    else:  # tp/ring: batch replicated over the model axis, params (tp)
+        # or the token axis (ring) sharded — every process feeds the
+        # FULL batch as its "local" shard.
         local_images, local_labels = full_images, full_labels
         mesh = create_mesh(data=1, model=nprocs)
+    if mode == "ring":
+        # Exact global attention with K/V rotating around the 'model'
+        # ring (kernels/ring_attention.py ppermute) — here the ring hop
+        # IS the process boundary.
+        cfg = cfg.replace(ring_attention=True)
     trainer = Trainer(cfg, LossConfig(), tc, mesh=mesh)
     state = trainer.init_state()
     # Global arrays: every process sees the full logical shape.
     assert state["params"]["linear_projection"]["kernel"].ndim == 2
     step_rng = jax.random.PRNGKey(7)
 
+    ring_has_ppermute = None
     losses_dist = []
     for _ in range(2):
         images, labels = trainer._put_batch(local_images, local_labels)
         assert images.shape[0] == 4, images.shape  # global batch
+        if mode == "ring" and ring_has_ppermute is None:
+            # The correctness claim below (ring == plain einsum) is only
+            # meaningful if the K/V rotation actually compiled in.
+            with mesh:
+                hlo = trainer.train_step.lower(
+                    state, images, labels, step_rng).compile().as_text()
+            ring_has_ppermute = "collective-permute" in hlo
         with mesh:
             state, loss = trainer.train_step(state, images, labels,
                                              step_rng)
         losses_dist.append(float(loss))
 
-    # Ground truth: the same two steps, one device, full batch.
+    # Ground truth: the same two steps, one device, full batch. For the
+    # ring mode the reference runs PLAIN einsum attention — ring
+    # attention is mathematically exact global attention, so the match
+    # is itself the correctness claim.
+    cfg_ref = cfg.replace(ring_attention=False) if mode == "ring" else cfg
     optimizer = trainer.optimizer
-    ref_state = create_train_state(jax.random.PRNGKey(tc.seed), cfg,
+    ref_state = create_train_state(jax.random.PRNGKey(tc.seed), cfg_ref,
                                    optimizer)
-    ref_step = make_train_step(cfg, LossConfig(), optimizer, donate=False)
+    ref_step = make_train_step(cfg_ref, LossConfig(), optimizer,
+                               donate=False)
     losses_single = []
     for _ in range(2):
         ref_state, loss = ref_step(ref_state, jnp.asarray(full_images),
@@ -96,6 +115,8 @@ def main() -> None:
         losses_single.append(float(loss))
 
     result = {"dist": losses_dist, "single": losses_single}
+    if ring_has_ppermute is not None:
+        result["ring_has_ppermute"] = ring_has_ppermute
 
     if mode == "tp":
         # Multi-process checkpoint roundtrip: the orbax save is

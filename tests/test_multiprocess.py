@@ -29,11 +29,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("mode", ["dp", "tp"])
+@pytest.mark.parametrize("mode", ["dp", "tp", "ring"])
 def test_two_process_training_matches_single_device(tmp_path, mode):
     """dp: gradient psum crosses the process boundary. tp: megatron
     param shardings + their all-gathers/reduces cross it, then a
-    COLLECTIVE orbax checkpoint round-trips the TP-sharded state."""
+    COLLECTIVE orbax checkpoint round-trips the TP-sharded state.
+    ring: the ring-attention K/V rotation (collective-permute) hops the
+    process boundary and still equals plain einsum attention."""
     out = tmp_path / "mp.json"
     port = _free_port()
     env = dict(os.environ)
@@ -70,3 +72,5 @@ def test_two_process_training_matches_single_device(tmp_path, mode):
     if mode == "tp":
         assert results["ckpt_param_sq_diff"] == 0.0
         assert results["fresh_param_sq_diff"] > 1.0
+    if mode == "ring":
+        assert results["ring_has_ppermute"] is True

@@ -118,6 +118,30 @@ def main() -> None:
     if ring_has_ppermute is not None:
         result["ring_has_ppermute"] = ring_has_ppermute
 
+    if mode == "dp":
+        # Multi-process evaluation: each process feeds its LOCAL eval
+        # shard; evaluate_map lifts images AND labels into the global
+        # layout and the jitted metric consumes global arrays. Must
+        # equal the single-device full-batch evaluation exactly (the
+        # ring-buffer metric is order-dependent; pid-order assembly
+        # reproduces the full order).
+        from vision_transformer_detector_tpu.metrics.fast_map import (
+            JitMeanAveragePrecision)
+        from vision_transformer_detector_tpu.train.trainer import (
+            evaluate_map, make_eval_step)
+
+        with mesh:
+            ap_dist = evaluate_map(
+                state["params"], [(local_images, local_labels)], cfg,
+                trainer.eval_step, JitMeanAveragePrecision(cfg),
+                put_fn=trainer._put_images,
+                put_labels_fn=trainer._put_images)
+        ap_single = evaluate_map(
+            ref_state["params"], [(full_images, full_labels)], cfg,
+            make_eval_step(cfg), JitMeanAveragePrecision(cfg))
+        result["ap_dist"] = ap_dist
+        result["ap_single"] = ap_single
+
     if mode == "tp":
         # Multi-process checkpoint roundtrip: the orbax save is
         # collective (each process writes its addressable shards of the

@@ -137,24 +137,36 @@ def make_predict_step(config: DetectorConfig):
 def evaluate_map(params, dataset: Iterable, config: DetectorConfig,
                  eval_step=None,
                  metric: Optional[MeanAveragePrecision] = None,
-                 put_fn=None) -> float:
+                 put_fn=None, put_labels_fn=None) -> float:
     """Run the streaming mAP over a dataset (SaveModelHighestAP's evaluate,
     vtd.py:2162-2172).
 
     ``put_fn`` places each image batch on device (Trainer passes
     ``_put_images`` so eval batches shard over the data axis like train
     batches do — without it a mesh run evaluates from one device's copy
-    and GSPMD pays an all-to-all reshard per batch)."""
+    and GSPMD pays an all-to-all reshard per batch). ``put_labels_fn``
+    (multi-process only) lifts each process-LOCAL label shard into the
+    same global layout: the jitted metric consumes (labels, decoded)
+    together, and host numpy labels would be silently treated as
+    replicated even though every process holds a DIFFERENT shard."""
     if eval_step is None:
         eval_step = make_eval_step(config)
     if metric is None:
         metric = MeanAveragePrecision(config)
     metric.reset_state()
     host_metric = isinstance(metric, MeanAveragePrecision)
+    if host_metric and jax.process_count() > 1:
+        raise NotImplementedError(
+            "the host-oracle MeanAveragePrecision cannot evaluate under "
+            "multi-process SPMD (decoded predictions are global arrays "
+            "with non-addressable shards); use the jitted metric "
+            "(Trainer(fast_metric=True), the default)")
     if put_fn is None:
         put_fn = jnp.asarray
     for images, labels in dataset:
         decoded = eval_step(params, put_fn(images))
+        if put_labels_fn is not None:
+            labels = put_labels_fn(labels)
         # Only the host oracle needs the device->host copy; the jitted
         # metric consumes the device array directly (forcing np.asarray
         # re-added the round-trip it exists to eliminate).
@@ -423,10 +435,17 @@ class Trainer:
             if (eval_data is not None and epoch >= tc.epochs_warm_up
                     and (epoch - tc.epochs_warm_up) % tc.skip_epochs == 0):
                 with self._mesh_context():
-                    ap = evaluate_map(state["params"], eval_data,
-                                      self.config, self.eval_step,
-                                      self.metric,
-                                      put_fn=self._put_images)
+                    ap = evaluate_map(
+                        state["params"], eval_data, self.config,
+                        self.eval_step, self.metric,
+                        put_fn=self._put_images,
+                        # Multi-process: label shards must join the same
+                        # global layout as the decoded predictions
+                        # (_put_images is shape-generic over the leading
+                        # axis).
+                        put_labels_fn=(self._put_images
+                                       if jax.process_count() > 1
+                                       else None))
                 self.ap_record.append(ap)
                 record["ap"] = ap
                 if ap > self.best_ap:

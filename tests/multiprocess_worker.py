@@ -61,25 +61,44 @@ def main() -> None:
     for i in range(4):
         full_labels[i, 0] = (1, i % 80, 16.0, 16.0, 10.0, 10.0)
     if mode == "dp":
-        per = 4 // nprocs
-        local_images = full_images[pid * per:(pid + 1) * per]
-        local_labels = full_labels[pid * per:(pid + 1) * per]
         mesh = create_mesh(data=nprocs, model=1)
+    elif mode == "dp_tp":  # the pod topology: both axes cross processes
+        mesh = create_mesh(data=nprocs // 2, model=2)
     else:  # tp/ring: batch replicated over the model axis, params (tp)
-        # or the token axis (ring) sharded — every process feeds the
-        # FULL batch as its "local" shard.
-        local_images, local_labels = full_images, full_labels
+        # or the token axis (ring) sharded.
         mesh = create_mesh(data=1, model=nprocs)
     if mode == "ring":
         # Exact global attention with K/V rotating around the 'model'
         # ring (kernels/ring_attention.py ppermute) — here the ring hop
         # IS the process boundary.
         cfg = cfg.replace(ring_attention=True)
+
+    # Which global-batch rows THIS process must feed is a property of the
+    # sharding (mesh device order), not pid arithmetic.
+    from vision_transformer_detector_tpu.parallel.data import (
+        process_batch_indices)
+    rows = process_batch_indices(mesh, 4)
+    local_images = full_images[rows.start:rows.stop]
+    local_labels = full_labels[rows.start:rows.stop]
     trainer = Trainer(cfg, LossConfig(), tc, mesh=mesh)
     state = trainer.init_state()
     # Global arrays: every process sees the full logical shape.
     assert state["params"]["linear_projection"]["kernel"].ndim == 2
     step_rng = jax.random.PRNGKey(7)
+
+    # Row-ASSIGNMENT check: the training-loss comparison below is
+    # permutation-invariant over the batch, so it cannot catch a loader
+    # that feeds the right rows into the wrong shard slots (the failure
+    # process_batch_indices exists to prevent). An order-weighted sum
+    # over the global batch is not.
+    images_g, _ = trainer._put_batch(local_images, local_labels)
+    weights = jnp.arange(1.0, 5.0, dtype=jnp.float32)
+    with mesh:
+        got = float(jax.jit(
+            lambda a: jnp.einsum("bhwc,b->", a, weights))(images_g))
+    want = float(np.einsum("bhwc,b->", full_images,
+                           np.arange(1.0, 5.0, dtype=np.float32)))
+    assert abs(got - want) <= abs(want) * 1e-5, (got, want)
 
     ring_has_ppermute = None
     losses_dist = []

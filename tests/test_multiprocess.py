@@ -29,13 +29,17 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("mode", ["dp", "tp", "ring"])
+@pytest.mark.parametrize("mode", ["dp", "tp", "ring", "dp_tp"])
 def test_two_process_training_matches_single_device(tmp_path, mode):
     """dp: gradient psum crosses the process boundary. tp: megatron
     param shardings + their all-gathers/reduces cross it, then a
     COLLECTIVE orbax checkpoint round-trips the TP-sharded state.
     ring: the ring-attention K/V rotation (collective-permute) hops the
-    process boundary and still equals plain einsum attention."""
+    process boundary and still equals plain einsum attention. dp_tp:
+    4 processes on a 2x2 mesh — the pod topology, with each process's
+    batch rows derived from the sharding (process_batch_indices) and an
+    order-sensitive assembly check inside the worker."""
+    nprocs = 4 if mode == "dp_tp" else 2
     out = tmp_path / "mp.json"
     port = _free_port()
     env = dict(os.environ)
@@ -46,10 +50,10 @@ def test_two_process_training_matches_single_device(tmp_path, mode):
         if "xla_force_host_platform_device_count" not in f)
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(pid), "2", str(port), str(out),
-         mode],
+        [sys.executable, _WORKER, str(pid), str(nprocs), str(port),
+         str(out), mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True) for pid in range(2)]
+        text=True) for pid in range(nprocs)]
     logs = []
     for p in procs:
         try:

@@ -102,3 +102,18 @@ def test_global_batch_feeds_train_step():
         state, loss = trainer.train_step(
             state, images, labels, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_process_batch_indices_single_process():
+    """One process owns every shard: the full range, on both pure-DP and
+    DP x TP meshes (model columns replicate, data rows partition)."""
+    from vision_transformer_detector_tpu.parallel.data import (
+        process_batch_indices)
+    from vision_transformer_detector_tpu.parallel.mesh import create_mesh
+
+    assert process_batch_indices(create_mesh(data=8, model=1), 16) \
+        == range(0, 16)
+    assert process_batch_indices(create_mesh(data=4, model=2), 8) \
+        == range(0, 8)
+    assert process_batch_indices(create_mesh(data=1, model=8), 4) \
+        == range(0, 4)

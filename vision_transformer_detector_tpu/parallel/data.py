@@ -38,6 +38,40 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     jax.distributed.initialize(**kwargs)
 
 
+def process_batch_indices(mesh, global_batch_size: int) -> range:
+    """The rows of the GLOBAL batch this process must load.
+
+    ``global_batch_from_local`` requires each process's local array to be
+    exactly its addressable shard of the sharded batch — and on an
+    arbitrary mesh (e.g. 2x2 data x model over 4 hosts) the mapping from
+    process index to batch rows is decided by the mesh's device order,
+    NOT by ``process_index * per_host`` arithmetic (mesh_utils may
+    permute devices for topology). This helper reads the mapping off the
+    sharding itself; a multi-host loader feeds
+    ``dataset[process_batch_indices(mesh, B)]``.
+
+    Model-parallel-only meshes (data axis 1) replicate the batch: every
+    process loads the full range.
+    """
+    sharding = batch_sharding(mesh)
+    index_map = sharding.devices_indices_map((global_batch_size,))
+    starts = sorted({
+        (idx[0].start or 0)
+        for device, idx in index_map.items()
+        if device.process_index == jax.process_index()})
+    if not starts:
+        raise ValueError("this process holds no shard of the batch")
+    # Rows per shard from the slice itself (all shards are equal-sized).
+    any_slice = next(iter(index_map.values()))[0]
+    per = (any_slice.stop or global_batch_size) - (any_slice.start or 0)
+    if len(starts) > 1 and any(
+            b - a != per for a, b in zip(starts, starts[1:])):
+        raise NotImplementedError(
+            "this process's batch shards are non-contiguous; feed "
+            "per-shard with jax.make_array_from_single_device_arrays")
+    return range(starts[0], starts[-1] + per)
+
+
 def global_batch_from_local(mesh, local_batch: np.ndarray) -> jax.Array:
     """Assemble a global array from this process's local batch shard.
 

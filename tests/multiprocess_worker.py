@@ -27,6 +27,7 @@ def main() -> None:
     pid, nprocs, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                    sys.argv[3], sys.argv[4])
     mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
+    phase = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -60,7 +61,7 @@ def main() -> None:
     full_labels[..., 0] = 0.0
     for i in range(4):
         full_labels[i, 0] = (1, i % 80, 16.0, 16.0, 10.0, 10.0)
-    if mode == "dp":
+    if mode in ("dp", "resume"):
         mesh = create_mesh(data=nprocs, model=1)
     elif mode == "dp_tp":  # the pod topology: both axes cross processes
         mesh = create_mesh(data=nprocs // 2, model=2)
@@ -85,6 +86,45 @@ def main() -> None:
     # Global arrays: every process sees the full logical shape.
     assert state["params"]["linear_projection"]["kernel"].ndim == 2
     step_rng = jax.random.PRNGKey(7)
+
+    if mode == "resume":
+        # Crash-and-resume across process-GROUP generations: phase 1
+        # trains and collectively checkpoints; phase 2 is a brand-new
+        # jax.distributed group that restores and continues. The
+        # combined trajectory must equal 4 uninterrupted single-device
+        # steps — the actual pod recovery flow.
+        trainer.checkpoint_dir = out_path + ".ckpt"
+        if phase == 2:
+            state = trainer.restore(state, name="ongoing")
+        losses_dist = []
+        for _ in range(2):
+            images, labels = trainer._put_batch(local_images, local_labels)
+            with mesh:
+                state, loss = trainer.train_step(state, images, labels,
+                                                 step_rng)
+            losses_dist.append(float(loss))
+        if phase == 1:
+            trainer.save(state, name="ongoing")
+            result = {"phase1": losses_dist}
+        else:
+            cfg_ref = cfg
+            optimizer = trainer.optimizer
+            ref_state = create_train_state(jax.random.PRNGKey(tc.seed),
+                                           cfg_ref, optimizer)
+            ref_step = make_train_step(cfg_ref, LossConfig(), optimizer,
+                                       donate=False)
+            singles = []
+            for _ in range(4):
+                ref_state, loss = ref_step(
+                    ref_state, jnp.asarray(full_images),
+                    jnp.asarray(full_labels), step_rng)
+                singles.append(float(loss))
+            result = {"phase2": losses_dist, "single4": singles}
+        if pid == 0:
+            with open(out_path, "w") as f:
+                json.dump(result, f)
+        print(f"proc {pid}: {result}", flush=True)
+        return
 
     # Row-ASSIGNMENT check: the training-loss comparison below is
     # permutation-invariant over the batch, so it cannot catch a loader

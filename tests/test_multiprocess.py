@@ -84,3 +84,38 @@ def test_two_process_training_matches_single_device(tmp_path, mode):
         assert results["fresh_param_sq_diff"] > 1.0
     if mode == "ring":
         assert results["ring_has_ppermute"] is True
+
+
+def test_resume_across_process_group_generations(tmp_path):
+    """Phase 1: a 2-process group trains 2 DP steps and collectively
+    checkpoints. Phase 2: a brand-new process group restores and trains
+    2 more. The stitched trajectory equals 4 uninterrupted single-device
+    steps — crash recovery on a pod, end to end."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    outs = {}
+    for phase in (1, 2):
+        # Both phases share the checkpoint dir via a common out stem.
+        out = tmp_path / "mp_resume.json"
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), "2", str(port), str(out),
+             "resume", str(phase)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for pid in range(2)]
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail(f"phase {phase} worker timed out")
+            assert p.returncode == 0, stdout[-2000:]
+        outs[phase] = json.loads(out.read_text())
+
+    trajectory = outs[1]["phase1"] + outs[2]["phase2"]
+    np.testing.assert_allclose(trajectory, outs[2]["single4"], rtol=1e-5)

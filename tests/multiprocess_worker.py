@@ -18,6 +18,7 @@ gloo collectives stand in for ICI). The worker:
 """
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -31,6 +32,13 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Same persistent compile cache the suite uses (tests/conftest.py):
+    # the worker programs repeat across modes/phases/runs, and the
+    # single host core pays full XLA compiles otherwise.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from vision_transformer_detector_tpu.parallel.data import (
         initialize_distributed)

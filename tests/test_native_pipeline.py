@@ -109,3 +109,30 @@ def test_native_letterbox_geometry_random_sizes(tmp_path):
         msg = f"trial {trial}: {oh}x{ow} -> {th}x{tw} (r {rh}x{rw})"
         assert nz_rows[0] == top and nz_rows[-1] == top + rh - 1, msg
         assert nz_cols[0] == left and nz_cols[-1] == left + rw - 1, msg
+
+
+def test_cmyk_jpeg_falls_back_to_pil(tmp_path):
+    """libjpeg cannot color-convert CMYK scans to RGB (real COCO contains
+    Adobe-CMYK files); the loader must fall back to PIL instead of
+    raising mid-epoch. Also proves test_native_invalid_jpeg_raises'
+    error path doesn't swallow the corrupt-file case."""
+    from PIL import Image
+
+    from vision_transformer_detector_tpu.config import DetectorConfig
+    from vision_transformer_detector_tpu.data.pipeline import (
+        load_and_letterbox_image, native_available)
+
+    path = tmp_path / "cmyk.jpg"
+    Image.new("CMYK", (40, 30), (10, 200, 30, 5)).save(path, format="JPEG")
+    cfg = DetectorConfig(image_size=(32, 32))
+    canvas, (oh, ow) = load_and_letterbox_image(
+        str(path), cfg, use_native=native_available())
+    assert (oh, ow) == (30, 40)
+    assert canvas.shape == (32, 32, 3)
+
+    corrupt = tmp_path / "bad.jpg"
+    corrupt.write_bytes(b"\xff\xd8 definitely not a jpeg")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        load_and_letterbox_image(str(corrupt), cfg,
+                                 use_native=native_available())

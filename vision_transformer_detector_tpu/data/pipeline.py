@@ -98,11 +98,21 @@ def load_and_letterbox_image(path: str, config: DetectorConfig,
         mh, mw = config.image_size
         with open(path, "rb") as f:
             data = f.read()
-        canvas_bytes, oh, ow = _native_pipeline.decode_letterbox(data, mh, mw)
-        canvas = np.frombuffer(canvas_bytes, np.uint8).reshape(mh, mw, 3)
-        if not normalize:
-            return canvas, (oh, ow)
-        return normalize_image(canvas), (oh, ow)
+        try:
+            canvas_bytes, oh, ow = _native_pipeline.decode_letterbox(
+                data, mh, mw)
+        except ValueError:
+            # libjpeg cannot color-convert every JPEG flavour PIL can
+            # (CMYK/Adobe-YCCK scans exist in real COCO); fall through
+            # to the PIL path below rather than killing the run on one
+            # exotic file. Truly corrupt files raise there too.
+            pass
+        else:
+            canvas = np.frombuffer(canvas_bytes, np.uint8).reshape(
+                mh, mw, 3)
+            if not normalize:
+                return canvas, (oh, ow)
+            return normalize_image(canvas), (oh, ow)
 
     from PIL import Image
 

@@ -287,3 +287,19 @@ def test_cli_doctor_reports_dead_backend(tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["device"]["ok"] is False
     assert set(report["native"]) == {"coco_json", "pipeline", "coco_eval"}
+
+
+def test_cli_evaluate_rejects_empty_dataset(dataset, tmp_path, capsys):
+    """A typo'd --val-images used to report mAP 0.0 as if the model were
+    bad; a nonexistent dir now raises, and an existing dir with no
+    matching images exits with a clear message."""
+    with pytest.raises(FileNotFoundError):
+        main(["evaluate", "--val-images", str(tmp_path / "nope"),
+              "--val-annotations", dataset["annotations"],
+              *common(dataset, tmp_path)])
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no evaluation batches"):
+        main(["evaluate", "--val-images", str(empty),
+              "--val-annotations", dataset["annotations"],
+              *common(dataset, tmp_path)])

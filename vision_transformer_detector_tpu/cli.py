@@ -181,6 +181,10 @@ def cmd_evaluate(args) -> None:
         return
     data = _build_dataset(args, config, args.val_images,
                           args.val_annotations)
+    if len(data) == 0:
+        raise SystemExit(
+            f"no evaluation batches: {args.val_images!r} matched no "
+            "images, or --batch-size exceeds the dataset size")
     if protocol == "coco":
         from .metrics.coco_eval import evaluate_coco_protocol
 

@@ -45,7 +45,14 @@ def list_image_paths(image_dir: str,
                      shuffle: bool = False,
                      seed: Optional[int] = None) -> List[str]:
     """Recursive file listing with optional shuffle and range slice
-    (vtu.py:385-415)."""
+    (vtu.py:385-415).
+
+    A nonexistent directory raises (os.walk would silently yield
+    nothing, and a typo'd --val-images then reported mAP 0.0 as if the
+    model were bad); an existing-but-empty directory returns []."""
+    if not os.path.isdir(image_dir):
+        raise FileNotFoundError(
+            f"image directory does not exist: {image_dir!r}")
     paths: List[str] = []
     for root, _, names in os.walk(image_dir):
         for name in sorted(names):

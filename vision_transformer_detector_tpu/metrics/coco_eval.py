@@ -541,6 +541,10 @@ def evaluate_coco_protocol_original_frame(
     paths = [p for p in list_image_paths(image_dir,
                                          images_range=images_range)
              if image_id_from_path(p) in annotations]
+    if not paths:
+        raise ValueError(
+            f"no images under {image_dir!r} matched the annotation dict "
+            "(check the directory and the file-naming convention)")
     evaluator = CocoEvaluator()
     dumped: List[dict] = []
     mh, mw = config.image_size

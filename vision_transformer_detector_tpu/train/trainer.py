@@ -415,6 +415,15 @@ class Trainer:
                         state, images, labels, step_rng)
                 epoch_losses.append(loss)
             if not epoch_losses:
+                try:
+                    n = len(train_data)
+                except TypeError:
+                    n = None
+                if n == 0:
+                    raise ValueError(
+                        "train_data is empty: no image paths matched, or "
+                        "batch_size exceeds the dataset size (an "
+                        "incomplete final batch is dropped)")
                 raise ValueError(
                     f"train_data yielded no batches in epoch {epoch}; pass "
                     "a re-iterable dataset (a list of batches or a dataset "

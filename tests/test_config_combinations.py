@@ -45,8 +45,11 @@ COMBOS = {
     "train_flash_eval_einsum_dropout": dict(
         train_use_flash_attention=True, use_flash_attention=False,
         dropout=0.25),
+    # 75px/p16 -> a 5x5 grid via SAME padding; scale 5 pools it to one
+    # cell (scales must divide the grid — enforced since the
+    # grid-geometry validation landed).
     "multiscale_nondivisible_remat_dots": dict(
-        head_scales=(1, 2), image_size=(75, 75), remat_encoder=True,
+        head_scales=(1, 5), image_size=(75, 75), remat_encoder=True,
         remat_policy="dots"),
 }
 

@@ -490,3 +490,31 @@ def test_windowed_flash_dropout_trains():
     assert np.isfinite(float(loss))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_grid_geometry_validation():
+    """Non-divisible attention_window / head_scales fail at init with an
+    actionable message instead of a reshape TypeError (window) or silent
+    edge-cell truncation (head scales)."""
+    import pytest
+
+    bad_window = TINY.replace(image_size=(64, 64), patch_size=16,
+                              attention_window=3)
+    with pytest.raises(ValueError, match="attention_window=3"):
+        init_params(jax.random.PRNGKey(0), bad_window)
+
+    bad_scale = TINY.replace(image_size=(64, 64), patch_size=16,
+                             head_scales=(1, 3))
+    with pytest.raises(ValueError, match="head_scales entry 3"):
+        init_params(jax.random.PRNGKey(0), bad_scale)
+
+    zero_cells = TINY.replace(image_size=(64, 64), patch_size=16,
+                              head_scales=(1, 8))
+    with pytest.raises(ValueError, match="head_scales entry 8"):
+        init_params(jax.random.PRNGKey(0), zero_cells)
+
+    ok = TINY.replace(image_size=(64, 64), patch_size=16,
+                      attention_window=2, head_scales=(1, 2, 4))
+    params = init_params(jax.random.PRNGKey(0), ok)
+    out = forward(params, jnp.zeros((1, 64, 64, 3)), ok)
+    assert out.shape == (1, ok.max_objects, 6)

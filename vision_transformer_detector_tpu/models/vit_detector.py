@@ -88,6 +88,7 @@ def init_params(rng: jax.Array, config: DetectorConfig) -> Params:
     wasteful on any remote runtime. ``config`` is static (hashable frozen
     dataclass), so repeat inits of the same config hit the jit cache.
     """
+    _validate_grid_config(config)  # fail at init, not mid-training
     return _init_params_jit(rng, config)
 
 
@@ -599,6 +600,29 @@ def _multi_scale_head_tokens(x, layers, config: DetectorConfig,
 # Forward
 # ---------------------------------------------------------------------------
 
+def _validate_grid_config(config: DetectorConfig) -> None:
+    """Grid-geometry checks with actionable messages.
+
+    Without these, a non-divisible ``attention_window`` died deep inside
+    a reshape ("cannot reshape array of shape ...") and a non-divisible
+    ``head_scales`` entry SILENTLY floor-pooled, dropping the grid's
+    edge rows/columns from the detection head (a scale larger than the
+    grid contributed zero cells)."""
+    gh, gw = config.grid_size
+    w = config.attention_window
+    if w is not None and (w <= 0 or gh % w or gw % w):
+        raise ValueError(
+            f"attention_window={w} must evenly divide the patch grid "
+            f"{gh}x{gw} (image_size {config.image_size} / patch_size "
+            f"{config.patch_size})")
+    for s in config.head_scales:
+        if s <= 0 or gh % s or gw % s:
+            raise ValueError(
+                f"head_scales entry {s} must evenly divide the patch "
+                f"grid {gh}x{gw}; a non-divisor silently drops edge "
+                "cells from the detection head")
+
+
 def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
             train: bool = False,
             dropout_rng: Optional[jax.Array] = None,
@@ -606,6 +630,7 @@ def forward(params: Params, images: jnp.ndarray, config: DetectorConfig,
     """Full detector forward: ``(B, H, W, 3) -> (B, max_objects, 6)`` raw
     logits (sigmoid stays outside, vtd.py:618-619)."""
     compute_dtype = jnp.dtype(config.compute_dtype)
+    _validate_grid_config(config)
 
     # --- preprocessor (vtd.py:239-309) -------------------------------------
     patches = extract_patches(images.astype(compute_dtype), config.patch_size)

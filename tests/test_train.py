@@ -552,3 +552,15 @@ def test_dataset_sidecar_gc_and_staleness(tmp_path, async_ckpt):
     trainer.dataset_resume_state = None
     trainer.save(state, name="ongoing")
     assert not (tmp_path / "ongoing.dataset.json").exists()
+
+
+def test_restore_mismatch_names_the_config_diff(tmp_path):
+    """Restoring with the wrong DetectorConfig fails with the differing
+    fields named (the raw orbax shape error doesn't say why)."""
+    trainer = Trainer(TINY, LOSS, TC, checkpoint_dir=str(tmp_path))
+    trainer.save(trainer.init_state(), "ongoing")
+
+    other = dataclasses.replace(TINY, embedding_dim=16)
+    t2 = Trainer(other, LOSS, TC, checkpoint_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="embedding_dim: checkpoint=8"):
+        t2.restore(t2.init_state(), "ongoing")

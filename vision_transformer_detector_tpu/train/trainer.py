@@ -506,6 +506,35 @@ class Trainer:
         if primary:
             self._save_dataset_state(path)
 
+    def _config_mismatch_hint(self) -> Optional[str]:
+        """When a restore fails, say WHY if the checkpoint's own
+        config.json disagrees with the live DetectorConfig — a raw orbax
+        shape error ('Requested shape (16,) is not compatible...') does
+        not tell the user they passed the wrong --preset/--image-size."""
+        import dataclasses
+
+        from ..config import load_configs
+
+        config_path = os.path.join(self.checkpoint_dir, "config.json")
+        if not os.path.exists(config_path):
+            return None
+        try:
+            saved, _, _ = load_configs(config_path)
+        except Exception:
+            return None
+        if saved == self.config:
+            return None
+        diffs = [
+            f"{f.name}: checkpoint={getattr(saved, f.name)!r} "
+            f"current={getattr(self.config, f.name)!r}"
+            for f in dataclasses.fields(self.config)
+            if getattr(saved, f.name) != getattr(self.config, f.name)]
+        return ("The checkpoint directory's config.json does not match "
+                "the current DetectorConfig — differing fields: "
+                + "; ".join(diffs)
+                + ". Load the run's own config (config.load_configs) or "
+                "pass the matching preset/overrides.")
+
     def _global_scalar(self, value: float) -> jnp.ndarray:
         """fp32 scalar for the checkpoint tree: plain on one process, a
         replicated GLOBAL array on a multi-process mesh (orbax cannot
@@ -616,10 +645,16 @@ class Trainer:
                     "opt_state": state["opt_state"],
                     "step": state["step"],
                     "best_ap": self._global_scalar(0.0)}
-        if self._async_ckpt is not None:
-            restored = self._async_ckpt.restore(path, template)
-        else:
-            restored = ckpt_lib.restore_checkpoint(path, template)
+        try:
+            if self._async_ckpt is not None:
+                restored = self._async_ckpt.restore(path, template)
+            else:
+                restored = ckpt_lib.restore_checkpoint(path, template)
+        except Exception as exc:
+            hint = self._config_mismatch_hint()
+            if hint:
+                raise ValueError(f"{exc}\n{hint}") from exc
+            raise
         self.best_ap = float(restored.pop("best_ap"))
         restored["step"] = jnp.asarray(restored["step"], jnp.int32)
         # Input-stream position travels with the model checkpoint (only

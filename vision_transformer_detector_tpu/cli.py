@@ -22,11 +22,19 @@ import sys
 from .config import (DetectorConfig, LossConfig, TrainConfig, get_config)
 
 
+def _positive_int(value: str) -> int:
+    n = int(value)
+    if n <= 0:
+        raise argparse.ArgumentTypeError(f"must be a positive integer, "
+                                         f"got {value}")
+    return n
+
+
 def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--preset", default="reference_608",
                    help="config preset name (see config.PRESETS)")
-    p.add_argument("--image-size", type=int, default=None)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--image-size", type=_positive_int, default=None)
+    p.add_argument("--batch-size", type=_positive_int, default=8)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype")
     p.add_argument("--flash-attention", action="store_true")

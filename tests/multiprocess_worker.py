@@ -69,6 +69,10 @@ def main() -> None:
     full_labels[..., 0] = 0.0
     for i in range(4):
         full_labels[i, 0] = (1, i % 80, 16.0, 16.0, 10.0, 10.0)
+    if mode == "input":
+        _input_pipeline_mode(pid, nprocs, out_path, jax, jnp)
+        return
+
     if mode in ("dp", "resume"):
         mesh = create_mesh(data=nprocs, model=1)
     elif mode == "dp_tp":  # the pod topology: both axes cross processes
@@ -238,6 +242,84 @@ def main() -> None:
         with open(out_path, "w") as f:
             json.dump(result, f)
     print(f"proc {pid}: {result}", flush=True)
+
+
+
+
+def _input_pipeline_mode(pid, nprocs, out_path, jax, jnp) -> None:
+    """The multi-host INPUT pipeline end to end with real files: each
+    process lists the same dataset, takes its per-host shard
+    (ResumableDataset shard_index/num_shards), and parallel.data
+    assembles global batches — content AND row placement checked
+    against the deterministic epoch order."""
+    from PIL import Image
+
+    from vision_transformer_detector_tpu.config import DetectorConfig
+    from vision_transformer_detector_tpu.data.pipeline import (
+        ResumableDataset)
+    from vision_transformer_detector_tpu.parallel.data import (
+        global_batches)
+    from vision_transformer_detector_tpu.parallel.mesh import (
+        batch_sharding, create_mesh)
+
+    cfg = DetectorConfig(image_size=(32, 32))
+    # Private per-process copy of the SAME deterministic dataset (no
+    # cross-process file races): image i is a constant-value canvas.
+    data_dir = f"{out_path}.data{pid}"
+    os.makedirs(data_dir, exist_ok=True)
+    paths = []
+    for i in range(8):
+        p = os.path.join(data_dir, f"{i:012d}.png")  # PNG: lossless value
+        Image.fromarray(
+            np.full((32, 32, 3), i * 25, np.uint8)).save(p)
+        paths.append(p)
+    annotations = {str(i): [[1, 16.0, 16.0, 8.0, 8.0, 64.0]]
+                   for i in range(8)}
+
+    ds = ResumableDataset(paths, annotations, cfg, batch_size=2,
+                          shuffle=True, seed=3, shard_index=pid,
+                          num_shards=nprocs)
+    mesh = create_mesh(data=nprocs, model=1)
+
+    # Expected epoch order: every process can reconstruct both shards
+    # (same file list), and the sharding's device map says which
+    # process's shard lands in which global rows.
+    rng = np.random.default_rng([3, 0])
+    full = list(paths)
+    rng.shuffle(full)
+    shards = [full[s::nprocs] for s in range(nprocs)]
+    index_map = batch_sharding(mesh).devices_indices_map((2 * nprocs,))
+    row_owner = {}
+    for device, idx in index_map.items():
+        row_owner[idx[0].start or 0] = device.process_index
+    # value encoded in the filename -> the constant pixel value
+    def value_of(path):
+        return int(os.path.basename(path)[:12]) * 25
+
+    batch_checks = []
+    for b, (images, labels) in enumerate(global_batches(mesh, iter(ds))):
+        assert images.shape == (2 * nprocs, 32, 32, 3)
+        weights = jnp.arange(1.0, 2.0 * nprocs + 1.0, dtype=jnp.float32)
+        with mesh:
+            got = float(jax.jit(
+                lambda a, w: jnp.einsum("bhwc,b->", a.astype(jnp.float32),
+                                        w))(images, weights))
+        # Each process contributes its local 2-row batch b at its rows.
+        want = 0.0
+        for start, owner in row_owner.items():
+            shard_paths = shards[owner][b * 2:(b + 1) * 2]
+            for j, sp in enumerate(shard_paths):
+                # normalized pixel value fills the whole 32x32x3 canvas
+                v = value_of(sp) / 127.5 - 1.0
+                want += (start + j + 1.0) * v * 32 * 32 * 3
+        batch_checks.append((got, want))
+        assert abs(got - want) <= max(1.0, abs(want)) * 1e-5, (b, got, want)
+    assert len(batch_checks) == 2   # 8 imgs / 2 shards / batch 2
+
+    if pid == 0:
+        with open(out_path, "w") as f:
+            json.dump({"batches": batch_checks}, f)
+    print(f"proc {pid}: input-pipeline ok {batch_checks}", flush=True)
 
 
 if __name__ == "__main__":

@@ -119,3 +119,34 @@ def test_resume_across_process_group_generations(tmp_path):
 
     trajectory = outs[1]["phase1"] + outs[2]["phase2"]
     np.testing.assert_allclose(trajectory, outs[2]["single4"], rtol=1e-5)
+
+
+def test_multi_host_input_pipeline(tmp_path):
+    """Per-host file shards (ResumableDataset shard_index/num_shards)
+    assembled by parallel.data.global_batches into global batches, with
+    content and row placement checked against the deterministic epoch
+    order — the multi-host input pipeline end to end with real files."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = tmp_path / "mp_input.json"
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(pid), "2", str(port), str(out),
+         "input"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("input-pipeline worker timed out")
+        assert p.returncode == 0, stdout[-2000:]
+    results = json.loads(out.read_text())
+    assert len(results["batches"]) == 2
+    for got, want in results["batches"]:
+        np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -190,25 +190,33 @@ def main() -> None:
         result["ring_has_ppermute"] = ring_has_ppermute
 
     if mode == "dp":
-        # Multi-process evaluation: each process feeds its LOCAL eval
-        # shard; evaluate_map lifts images AND labels into the global
-        # layout and the jitted metric consumes global arrays. Must
-        # equal the single-device full-batch evaluation exactly (the
-        # ring-buffer metric is order-dependent; pid-order assembly
-        # reproduces the full order).
+        # Multi-process evaluation with UNEVEN per-process shards: the
+        # rows-0:2 holder feeds TWO single-image batches, the rows-2:4
+        # holder ONE two-image batch — differing batch counts and ragged
+        # rounds used to desync the collectives and hang the pod.
+        # evaluate_map's mesh path synchronizes+pads the rounds (padded
+        # rows are metric no-ops), so the result must equal the
+        # single-device evaluation over the same global row order:
+        # round 1 assembles [g0, pad, g2, g3], round 2 [g1, pad].
         from vision_transformer_detector_tpu.metrics.fast_map import (
             JitMeanAveragePrecision)
         from vision_transformer_detector_tpu.train.trainer import (
             evaluate_map, make_eval_step)
 
+        if rows.start == 0:
+            local_eval = [(full_images[0:1], full_labels[0:1]),
+                          (full_images[1:2], full_labels[1:2])]
+        else:
+            local_eval = [(full_images[2:4], full_labels[2:4])]
         with mesh:
             ap_dist = evaluate_map(
-                state["params"], [(local_images, local_labels)], cfg,
+                state["params"], local_eval, cfg,
                 trainer.eval_step, JitMeanAveragePrecision(cfg),
-                put_fn=trainer._put_images,
-                put_labels_fn=trainer._put_images)
+                mesh=mesh)
+        single_order = [(full_images[[0, 2, 3]], full_labels[[0, 2, 3]]),
+                        (full_images[[1]], full_labels[[1]])]
         ap_single = evaluate_map(
-            ref_state["params"], [(full_images, full_labels)], cfg,
+            ref_state["params"], single_order, cfg,
             make_eval_step(cfg), JitMeanAveragePrecision(cfg))
         result["ap_dist"] = ap_dist
         result["ap_single"] = ap_single

@@ -224,3 +224,36 @@ def test_max_iou_tie_equivalence():
     # The tie consumed BOTH boxes: no leftover false positive, so with both
     # labels matched perfectly at high IoU the AP is well above zero.
     assert host > 0.5
+
+
+def test_inert_padding_rows_are_noop():
+    """Multi-process eval pads uneven rounds with (EMPTY labels, zero
+    decoded) rows (parallel.data.synced_global_eval_batches); the design
+    depends on such a row being an exact metric no-op, wherever it lands
+    in the stream and in nonzero-AP states."""
+    label = empty_labels(2)
+    label[0, 0] = (1, 5, 100.0, 100.0, 40.0, 40.0)
+    label[1, 0] = (1, 7, 200.0, 200.0, 60.0, 60.0)
+    pred = empty_labels(2)
+    pred[..., :] = -8.0
+    pred[0, 0] = (0.9, 5.0, 102.0, 102.0, 38.0, 38.0)
+    pred[0, 1] = (0.8, 5.0, 300.0, 300.0, 20.0, 20.0)  # false positive
+    pred[1, 0] = (0.9, 7.0, 200.0, 200.0, 60.0, 60.0)
+
+    pad_label = empty_labels(1)
+    pad_label[..., 0] = -8.0  # fully EMPTY_SLOT rows, as the padder emits
+    pad_pred = np.zeros((1, *SHAPE), np.float32)  # objectness 0
+
+    plain = JitMeanAveragePrecision(CFG)
+    plain.update_state(label, pred, use_transform_predictions=False)
+    want = plain.result()
+    assert want > 0.0  # meaningful state, not the all-zero degenerate
+
+    padded = JitMeanAveragePrecision(CFG)
+    padded.update_state(np.concatenate([pad_label, label[:1], pad_label]),
+                        np.concatenate([pad_pred, pred[:1], pad_pred]),
+                        use_transform_predictions=False)
+    padded.update_state(np.concatenate([label[1:], pad_label]),
+                        np.concatenate([pred[1:], pad_pred]),
+                        use_transform_predictions=False)
+    assert padded.result() == pytest.approx(want, abs=1e-6)

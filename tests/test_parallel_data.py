@@ -117,3 +117,36 @@ def test_process_batch_indices_single_process():
         == range(0, 8)
     assert process_batch_indices(create_mesh(data=1, model=8), 4) \
         == range(0, 4)
+
+
+def test_synced_eval_batches_pads_ragged_tail():
+    """Single-process degenerate case of the multi-process lockstep eval
+    rounds: a ragged final batch is padded up to the data-axis device
+    count with inert rows (zero images, EMPTY_SLOT labels) and the valid
+    mask marks the real rows."""
+    from vision_transformer_detector_tpu.config import (
+        EMPTY_SLOT_VALUE, DetectorConfig)
+    from vision_transformer_detector_tpu.parallel.data import (
+        synced_global_eval_batches)
+
+    cfg = DetectorConfig(image_size=(8, 8), max_objects=3)
+    mesh = create_mesh(data=4, model=2)
+    stream = [
+        (np.ones((4, 8, 8, 3), np.float32), np.ones((4, 3, 6), np.float32)),
+        (np.ones((2, 8, 8, 3), np.float32), np.ones((2, 3, 6), np.float32)),
+    ]
+    rounds = list(synced_global_eval_batches(mesh, stream, cfg))
+    assert len(rounds) == 2
+    images, labels, valid = rounds[1]
+    assert images.shape == (4, 8, 8, 3)
+    assert images.sharding.spec[0] == DATA_AXIS
+    np.testing.assert_array_equal(np.asarray(valid), [True, True, False,
+                                                      False])
+    np.testing.assert_array_equal(np.asarray(images[2:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(labels[2:]), EMPTY_SLOT_VALUE)
+    np.testing.assert_array_equal(np.asarray(labels[:2]), 1.0)
+    # Full rounds pass through untouched.
+    _, _, valid0 = rounds[0]
+    assert np.asarray(valid0).all()
+    # An empty iterator yields nothing (and does not raise).
+    assert list(synced_global_eval_batches(mesh, [], cfg)) == []

@@ -91,3 +91,75 @@ def global_batches(mesh, local_iterator: Iterable
     for images, labels in local_iterator:
         yield (global_batch_from_local(mesh, np.asarray(images)),
                global_batch_from_local(mesh, np.asarray(labels)))
+
+
+def synced_global_eval_batches(mesh, local_iterator: Iterable, config
+                               ) -> Iterator[Tuple[jax.Array, jax.Array,
+                                                   jax.Array]]:
+    """Lockstep eval rounds that tolerate uneven per-process shards.
+
+    Each process feeds its LOCAL ``(images, labels)`` eval batches; every
+    round the processes agree (host allgather) on a common padded local
+    row count, pad ragged or missing batches with inert rows (zero
+    images, EMPTY_SLOT labels), and yield
+    ``(global_images, global_labels, global_valid)``. The loop ends only
+    when EVERY process is exhausted — so a 5-vs-4-image shard split or a
+    differing per-process batch count can no longer desync the
+    collectives inside the jitted eval step (which would hang the pod at
+    the first eval epoch).
+
+    ``valid`` marks the real rows. ``evaluate_map`` zeroes the decoded
+    predictions of padded rows (objectness 0 is below every positivity
+    threshold) and EMPTY_SLOT labels carry no ground truth, so a padded
+    row is an exact metric no-op (property-tested in
+    tests/test_fast_map.py::test_inert_padding_rows_are_noop).
+
+    Single-process this degenerates to ragged-tail padding only, which
+    keeps the final batch shardable over the data axis.
+    """
+    from ..config import EMPTY_SLOT_VALUE
+    from .mesh import DATA_AXIS
+
+    h, w = config.image_size
+    image_tail = (h, w, 3)
+    label_tail = (config.max_objects, 6)
+    # Local rows must be exactly this process's addressable shard, so
+    # they must stay divisible by the data-axis devices this process
+    # holds (1 on a one-device-per-host pod; >1 single-process).
+    local_data = mesh.local_mesh.shape.get(DATA_AXIS, 1)
+
+    it = iter(local_iterator)
+    exhausted = False
+    while True:
+        batch = None
+        if not exhausted:
+            batch = next(it, None)
+            exhausted = batch is None
+        n = 0 if batch is None else int(np.asarray(batch[0]).shape[0])
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            counts = np.atleast_1d(np.asarray(
+                multihost_utils.process_allgather(np.asarray(n, np.int32))))
+            round_n = int(counts.max())
+        else:
+            round_n = n
+        if round_n == 0:
+            return
+        round_n = -(-round_n // local_data) * local_data
+        if batch is None:
+            images = np.zeros((0,) + image_tail, np.float32)
+            labels = np.zeros((0,) + label_tail, np.float32)
+        else:
+            images = np.asarray(batch[0])
+            labels = np.asarray(batch[1])
+        pad = round_n - n
+        if pad:
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+            labels = np.concatenate(
+                [labels, np.full((pad,) + labels.shape[1:],
+                                 EMPTY_SLOT_VALUE, labels.dtype)])
+        valid = np.arange(round_n) < n
+        yield (global_batch_from_local(mesh, images),
+               global_batch_from_local(mesh, labels),
+               global_batch_from_local(mesh, valid))

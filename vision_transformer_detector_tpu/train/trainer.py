@@ -134,21 +134,30 @@ def make_predict_step(config: DetectorConfig):
     return jax.jit(predict_step)
 
 
+@jax.jit
+def _zero_padded_rows(decoded, valid):
+    """Inert-ify decoded predictions of padded eval rows: objectness 0 is
+    below every positivity threshold, so the metric ignores them."""
+    return jnp.where(valid[:, None, None], decoded, 0.0)
+
+
 def evaluate_map(params, dataset: Iterable, config: DetectorConfig,
                  eval_step=None,
                  metric: Optional[MeanAveragePrecision] = None,
-                 put_fn=None, put_labels_fn=None) -> float:
+                 put_fn=None, mesh=None) -> float:
     """Run the streaming mAP over a dataset (SaveModelHighestAP's evaluate,
     vtd.py:2162-2172).
 
     ``put_fn`` places each image batch on device (Trainer passes
     ``_put_images`` so eval batches shard over the data axis like train
     batches do — without it a mesh run evaluates from one device's copy
-    and GSPMD pays an all-to-all reshard per batch). ``put_labels_fn``
-    (multi-process only) lifts each process-LOCAL label shard into the
-    same global layout: the jitted metric consumes (labels, decoded)
-    together, and host numpy labels would be silently treated as
-    replicated even though every process holds a DIFFERENT shard."""
+    and GSPMD pays an all-to-all reshard per batch).
+
+    ``mesh`` (multi-process only): each process feeds its process-LOCAL
+    eval shard and the rounds are synchronized+padded across processes
+    (parallel.data.synced_global_eval_batches) so uneven shard sizes or
+    batch counts cannot desync the collectives, labels join the decoded
+    predictions' global layout, and padded rows are exact metric no-ops."""
     if eval_step is None:
         eval_step = make_eval_step(config)
     if metric is None:
@@ -161,12 +170,18 @@ def evaluate_map(params, dataset: Iterable, config: DetectorConfig,
             "multi-process SPMD (decoded predictions are global arrays "
             "with non-addressable shards); use the jitted metric "
             "(Trainer(fast_metric=True), the default)")
-    if put_fn is None:
-        put_fn = jnp.asarray
-    for images, labels in dataset:
-        decoded = eval_step(params, put_fn(images))
-        if put_labels_fn is not None:
-            labels = put_labels_fn(labels)
+    if mesh is not None and jax.process_count() > 1:
+        from ..parallel.data import synced_global_eval_batches
+        rounds = synced_global_eval_batches(mesh, dataset, config)
+    else:
+        if put_fn is None:
+            put_fn = jnp.asarray
+        rounds = ((put_fn(images), labels, None)
+                  for images, labels in dataset)
+    for images, labels, valid in rounds:
+        decoded = eval_step(params, images)
+        if valid is not None:
+            decoded = _zero_padded_rows(decoded, valid)
         # Only the host oracle needs the device->host copy; the jitted
         # metric consumes the device array directly (forcing np.asarray
         # re-added the round-trip it exists to eliminate).
@@ -349,7 +364,9 @@ class Trainer:
         """Device placement for EVAL image batches: sharded over the data
         axis like train batches. Eval tolerates what train rejects — a
         final ragged batch that doesn't divide the data axis runs
-        unsharded instead of raising (mAP must include every image)."""
+        unsharded instead of raising (mAP must include every image).
+        Multi-process eval does not route through here: evaluate_map's
+        ``mesh`` path assembles synchronized global rounds instead."""
         if self.mesh is not None and jax.process_count() > 1:
             from ..parallel.data import global_batch_from_local
             return global_batch_from_local(self.mesh, np.asarray(images))
@@ -448,13 +465,11 @@ class Trainer:
                         state["params"], eval_data, self.config,
                         self.eval_step, self.metric,
                         put_fn=self._put_images,
-                        # Multi-process: label shards must join the same
-                        # global layout as the decoded predictions
-                        # (_put_images is shape-generic over the leading
-                        # axis).
-                        put_labels_fn=(self._put_images
-                                       if jax.process_count() > 1
-                                       else None))
+                        # Multi-process: rounds synchronize+pad across
+                        # processes (uneven shards must not desync the
+                        # collectives) and labels join the decoded
+                        # predictions' global layout.
+                        mesh=self.mesh)
                 self.ap_record.append(ap)
                 record["ap"] = ap
                 if ap > self.best_ap:

@@ -21,37 +21,16 @@ import time
 BASELINE_IMG_PER_S = 4.0  # TF reference, ipynb cell 15 (~2 s / 8 images)
 
 
-def _probe_accelerator(timeout_s: float = 240.0) -> bool:
-    """True if the accelerator backend initializes AND computes in a
-    subprocess within ``timeout_s``.
-
-    The tunneled-TPU failure mode this defends against (observed
-    2026-08-18, docs/DESIGN.md): the backend neither initializes nor
-    raises — ``jax.devices()`` blocks forever — so the existing
-    platform-based CPU fallback never triggers and the whole bench hangs
-    past any driver timeout, recording nothing. Probing in a subprocess
-    converts "hung tunnel" into "CPU-fallback run with a JSON line".
-    """
-    import os
-    import subprocess
-    import sys
-
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        return False
-    code = ("import jax, jax.numpy as jnp; d = jax.devices()[0]; "
-            "x = jax.device_put(jnp.ones((8, 8)), d); "
-            "print(d.platform, float(x.sum()))")
-    try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True,
-                             timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return False
-    return out.returncode == 0 and not out.stdout.startswith("cpu")
-
-
 def main() -> None:
-    probe_ok = _probe_accelerator()
+    # Shared subprocess probe (utils/runtime.py): converts the observed
+    # hung-tunnel failure mode (jax.devices() blocks forever, docs/
+    # DESIGN.md failure mode 5) into "CPU-fallback run with a JSON
+    # line". Imported before the parent touches its own backend — the
+    # package __init__ only loads config.
+    from vision_transformer_detector_tpu.utils.runtime import (
+        probe_accelerator)
+
+    probe_ok = probe_accelerator()
 
     import jax
 

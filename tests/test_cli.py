@@ -205,6 +205,26 @@ def test_cli_benchmark_inference_and_train(tmp_path, capsys):
     assert result["ms_per_step"] > 0 and result["img_per_s"] > 0
 
 
+def test_cli_benchmark_inference_honors_mesh_flags(tmp_path, capsys):
+    """--data-parallel/--model-parallel used to be silently ignored in
+    inference mode (single-device numbers mislabeled as the requested
+    config — round-3 review finding); now the batch/params shard, and a
+    non-divisible batch errors instead of measuring something else."""
+    import pytest
+
+    main(["benchmark", *common({}, tmp_path), "--batch-size", "8",
+          "--preset", "tiny_96", "--iterations", "2",
+          "--data-parallel", "4", "--model-parallel", "2"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["mode"] == "inference" and result["batch"] == 8
+    assert result["ms_per_step"] > 0
+
+    with pytest.raises(SystemExit, match="not divisible"):
+        main(["benchmark", *common({}, tmp_path), "--batch-size", "6",
+              "--preset", "tiny_96", "--iterations", "2",
+              "--data-parallel", "8"])
+
+
 def test_cli_no_flash_attention_override(tmp_path, capsys):
     """--no-flash-attention forces einsum everywhere, including clearing
     a preset's train-only flash override; combining both flags errors."""

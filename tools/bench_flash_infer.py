@@ -27,18 +27,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._timing import roundtrip_ms  # noqa: E402
 
-def roundtrip_ms():
-    import jax.numpy as jnp
-    import numpy as np
-    tiny = jnp.zeros(())
-    _ = np.asarray(tiny + 1)
-    samples = []
-    for _ in range(5):
-        tic = time.perf_counter()
-        _ = np.asarray(tiny + 1)
-        samples.append((time.perf_counter() - tic) * 1e3)
-    return min(samples)
 
 
 def main():

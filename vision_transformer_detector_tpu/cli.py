@@ -474,27 +474,14 @@ def cmd_doctor(args) -> None:
     import subprocess
     import sys as _sys
 
+    from .utils.runtime import probe_device
+
     report: dict = {}
-    code = ("import jax, jax.numpy as jnp; d = jax.devices()[0]; "
-            "x = jax.device_put(jnp.ones((8, 8)), d); "
-            "print(d.platform, len(jax.devices()), float(x.sum()))")
-    try:
-        probe = subprocess.run([_sys.executable, "-c", code],
-                               capture_output=True, text=True,
-                               timeout=args.probe_timeout)
-        if probe.returncode == 0 and probe.stdout.strip():
-            platform, count, _ = probe.stdout.split()
-            report["device"] = {"ok": True, "platform": platform,
-                                "count": int(count)}
-        else:
-            report["device"] = {
-                "ok": False,
-                "error": (probe.stderr.strip().splitlines() or ["?"])[-1]}
-    except subprocess.TimeoutExpired:
-        report["device"] = {
-            "ok": False,
-            "error": f"backend did not answer within {args.probe_timeout}s "
-                     "(hung tunnel?)"}
+    # Shared hang-safe probe (utils/runtime.py, same one bench.py's CPU
+    # fallback rides): the child prints a MARKED line because stdout may
+    # also carry banners from sitecustomize platform registration on
+    # exactly the broken environments this command exists to diagnose.
+    report["device"] = probe_device(args.probe_timeout)
 
     from .data import annotations as _ann
     from .data import pipeline as _pipe
@@ -551,20 +538,39 @@ def cmd_benchmark(args) -> None:
     iterations = args.iterations
 
     if args.mode == "inference":
+        import contextlib
+
+        # --data-parallel/--model-parallel apply to BOTH modes: the
+        # inference path used to accept the flags but silently time a
+        # single device, mislabeling the result (round-3 review finding).
+        mesh = _maybe_mesh(args)
+        if mesh is not None:
+            from .parallel import mesh as mesh_lib
+
+            data_size = mesh.shape[mesh_lib.DATA_AXIS]
+            if batch % data_size != 0:
+                raise SystemExit(
+                    f"--batch-size {batch} is not divisible by "
+                    f"--data-parallel {data_size}")
+            params = jax.device_put(
+                params, mesh_lib.param_shardings(params, mesh))
+            images = jax.device_put(images, mesh_lib.batch_sharding(mesh))
+
         @jax.jit
         def chained(params, images, eps):
             out = transform_predictions(
-                forward(params, images + eps, config), config)
+                forward(params, images + eps, config, mesh=mesh), config)
             return out, out.mean() * 0.0
 
-        eps = jnp.float32(0.0)
-        out, eps = chained(params, images, eps)
-        float(eps)                                   # compile + sync
-        tic = time.perf_counter()
-        for _ in range(iterations):
-            out, eps = chained(params, images, eps)  # chained via eps
-        float(eps)
-        elapsed = time.perf_counter() - tic
+        with mesh if mesh is not None else contextlib.nullcontext():
+            eps = jnp.float32(0.0)
+            out, eps = chained(params, images, eps)
+            float(eps)                                   # compile + sync
+            tic = time.perf_counter()
+            for _ in range(iterations):
+                out, eps = chained(params, images, eps)  # chained via eps
+            float(eps)
+            elapsed = time.perf_counter() - tic
     else:
         import numpy as np
 

@@ -51,6 +51,11 @@ def list_image_paths(image_dir: str,
     nothing, and a typo'd --val-images then reported mAP 0.0 as if the
     model were bad); an existing-but-empty directory returns []."""
     if not os.path.isdir(image_dir):
+        if os.path.exists(image_dir):
+            # A file (e.g. a single image) passed where a directory is
+            # expected deserves its real diagnosis, not "does not exist".
+            raise NotADirectoryError(
+                f"image path exists but is not a directory: {image_dir!r}")
         raise FileNotFoundError(
             f"image directory does not exist: {image_dir!r}")
     paths: List[str] = []

@@ -547,6 +547,12 @@ def evaluate_coco_protocol_original_frame(
             "(check the directory and the file-naming convention)")
     evaluator = CocoEvaluator()
     dumped: List[dict] = []
+    dump_file = None
+    if dump_detections is not None:
+        # Open BEFORE the (minutes-long at 5k images) eval loop: a bad
+        # dump path must fail in milliseconds, not after the whole run
+        # (round-3 review finding).
+        dump_file = open(dump_detections, "w")
     mh, mw = config.image_size
     for start in range(0, len(paths), batch_size):
         chunk = paths[start:start + batch_size]
@@ -593,11 +599,11 @@ def evaluate_coco_protocol_original_frame(
                 gt_areas=gt_areas,
                 det_boxes=det_boxes, det_scores=det_scores,
                 det_categories=det_categories)
-    if dump_detections is not None:
+    if dump_file is not None:
         import json
 
-        with open(dump_detections, "w") as f:
-            json.dump(dumped, f)
+        with dump_file:
+            json.dump(dumped, dump_file)
     return _protocol_summary(evaluator.evaluate(), per_category)
 
 

@@ -25,6 +25,7 @@ import collections
 import functools
 import io
 import json
+import math
 import queue
 import threading
 import time
@@ -585,8 +586,12 @@ class DetectionServer:
         }
         if lat:
             def pct(p: float) -> float:
-                return round(lat[min(len(lat) - 1,
-                                     int(p / 100.0 * len(lat)))], 3)
+                # Nearest-rank percentile: ceil(p/100 * n)-th smallest.
+                # int(p/100 * n) as an index sat one rank high (with 2
+                # samples "p50" returned the max — round-3 review
+                # finding).
+                rank = math.ceil(p / 100.0 * len(lat))
+                return round(lat[max(0, rank - 1)], 3)
             out["latency_ms_recent"] = {
                 "count": len(lat),
                 "mean": round(sum(lat) / len(lat), 3),

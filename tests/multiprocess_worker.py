@@ -203,23 +203,42 @@ def main() -> None:
         from vision_transformer_detector_tpu.train.trainer import (
             evaluate_map, make_eval_step)
 
+        # uint8 stream: the lockstep padder must agree on dtype/layout
+        # across processes (an exhausted process pads from the allgathered
+        # template, not config-derived float32 defaults).
+        u8_images = ((full_images + 1.0) * 127.5).astype(np.uint8)
         if rows.start == 0:
-            local_eval = [(full_images[0:1], full_labels[0:1]),
-                          (full_images[1:2], full_labels[1:2])]
+            local_eval = [(u8_images[0:1], full_labels[0:1]),
+                          (u8_images[1:2], full_labels[1:2])]
         else:
-            local_eval = [(full_images[2:4], full_labels[2:4])]
+            local_eval = [(u8_images[2:4], full_labels[2:4])]
         with mesh:
             ap_dist = evaluate_map(
                 state["params"], local_eval, cfg,
                 trainer.eval_step, JitMeanAveragePrecision(cfg),
                 mesh=mesh)
-        single_order = [(full_images[[0, 2, 3]], full_labels[[0, 2, 3]]),
-                        (full_images[[1]], full_labels[[1]])]
+        single_order = [(u8_images[[0, 2, 3]], full_labels[[0, 2, 3]]),
+                        (u8_images[[1]], full_labels[[1]])]
         ap_single = evaluate_map(
             ref_state["params"], single_order, cfg,
             make_eval_step(cfg), JitMeanAveragePrecision(cfg))
         result["ap_dist"] = ap_dist
         result["ap_single"] = ap_single
+
+        # One process's shard EMPTY from round 1: it never sees a batch,
+        # so its padding layout comes from the allgathered donor row.
+        empty_side = [] if rows.start != 0 else [
+            (u8_images[0:2], full_labels[0:2])]
+        with mesh:
+            ap_empty = evaluate_map(
+                state["params"], empty_side, cfg,
+                trainer.eval_step, JitMeanAveragePrecision(cfg),
+                mesh=mesh)
+        ap_empty_single = evaluate_map(
+            ref_state["params"], [(u8_images[0:2], full_labels[0:2])], cfg,
+            make_eval_step(cfg), JitMeanAveragePrecision(cfg))
+        result["ap_empty"] = ap_empty
+        result["ap_empty_single"] = ap_empty_single
 
     if mode == "tp":
         # Multi-process checkpoint roundtrip: the orbax save is

@@ -79,6 +79,8 @@ def test_two_process_training_matches_single_device(tmp_path, mode):
         # reassociation, so a tiny tolerance absorbs threshold flips.
         assert 0.0 <= results["ap_dist"] <= 1.0
         assert abs(results["ap_dist"] - results["ap_single"]) <= 1e-3
+        # Empty shard on one process (donor-template padding, uint8).
+        assert abs(results["ap_empty"] - results["ap_empty_single"]) <= 1e-3
     if mode == "tp":
         assert results["ckpt_param_sq_diff"] == 0.0
         assert results["fresh_param_sq_diff"] > 1.0

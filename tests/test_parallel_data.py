@@ -135,7 +135,7 @@ def test_synced_eval_batches_pads_ragged_tail():
         (np.ones((4, 8, 8, 3), np.float32), np.ones((4, 3, 6), np.float32)),
         (np.ones((2, 8, 8, 3), np.float32), np.ones((2, 3, 6), np.float32)),
     ]
-    rounds = list(synced_global_eval_batches(mesh, stream, cfg))
+    rounds = list(synced_global_eval_batches(mesh, stream))
     assert len(rounds) == 2
     images, labels, valid = rounds[1]
     assert images.shape == (4, 8, 8, 3)
@@ -149,4 +149,4 @@ def test_synced_eval_batches_pads_ragged_tail():
     _, _, valid0 = rounds[0]
     assert np.asarray(valid0).all()
     # An empty iterator yields nothing (and does not raise).
-    assert list(synced_global_eval_batches(mesh, [], cfg)) == []
+    assert list(synced_global_eval_batches(mesh, [])) == []

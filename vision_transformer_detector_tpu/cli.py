@@ -499,13 +499,17 @@ def cmd_doctor(args) -> None:
         "os.environ.get('XLA_FLAGS', '') + "
         "' --xla_force_host_platform_device_count=8'; "
         "import jax; jax.config.update('jax_platforms', 'cpu'); "
-        "print(len(jax.devices()))")
+        "print('VTD_MESH', len(jax.devices()))")
     try:
         mesh = subprocess.run([_sys.executable, "-c", mesh_code],
                               capture_output=True, text=True,
                               timeout=args.probe_timeout)
-        report["virtual_mesh_8"] = (mesh.returncode == 0
-                                    and mesh.stdout.strip() == "8")
+        # Marked line for the same reason as the device probe: banner
+        # noise on the child's stdout must not read as a broken mesh.
+        report["virtual_mesh_8"] = (
+            mesh.returncode == 0
+            and any(line.strip() == "VTD_MESH 8"
+                    for line in mesh.stdout.splitlines()))
     except subprocess.TimeoutExpired:
         report["virtual_mesh_8"] = False
 

@@ -44,6 +44,7 @@ dict's area column) to reproduce official small/medium/large buckets.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -547,12 +548,16 @@ def evaluate_coco_protocol_original_frame(
             "(check the directory and the file-naming convention)")
     evaluator = CocoEvaluator()
     dumped: List[dict] = []
-    dump_file = None
+    dump_tmp = None
     if dump_detections is not None:
-        # Open BEFORE the (minutes-long at 5k images) eval loop: a bad
-        # dump path must fail in milliseconds, not after the whole run
-        # (round-3 review finding).
-        dump_file = open(dump_detections, "w")
+        # Create the TEMP file BEFORE the (minutes-long at 5k images)
+        # eval loop: a bad dump path must fail in milliseconds, not
+        # after the whole run — but truncating the final path up front
+        # would destroy a pre-existing dump if the run dies mid-loop,
+        # so write to a sibling temp and os.replace at the end
+        # (round-3 review findings, both directions).
+        dump_tmp = dump_detections + ".tmp"
+        open(dump_tmp, "w").close()
     mh, mw = config.image_size
     for start in range(0, len(paths), batch_size):
         chunk = paths[start:start + batch_size]
@@ -599,11 +604,12 @@ def evaluate_coco_protocol_original_frame(
                 gt_areas=gt_areas,
                 det_boxes=det_boxes, det_scores=det_scores,
                 det_categories=det_categories)
-    if dump_file is not None:
+    if dump_tmp is not None:
         import json
 
-        with dump_file:
-            json.dump(dumped, dump_file)
+        with open(dump_tmp, "w") as f:
+            json.dump(dumped, f)
+        os.replace(dump_tmp, dump_detections)
     return _protocol_summary(evaluator.evaluate(), per_category)
 
 

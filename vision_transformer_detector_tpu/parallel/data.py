@@ -93,7 +93,7 @@ def global_batches(mesh, local_iterator: Iterable
                global_batch_from_local(mesh, np.asarray(labels)))
 
 
-def synced_global_eval_batches(mesh, local_iterator: Iterable, config
+def synced_global_eval_batches(mesh, local_iterator: Iterable
                                ) -> Iterator[Tuple[jax.Array, jax.Array,
                                                    jax.Array]]:
     """Lockstep eval rounds that tolerate uneven per-process shards.
@@ -120,38 +120,67 @@ def synced_global_eval_batches(mesh, local_iterator: Iterable, config
     from ..config import EMPTY_SLOT_VALUE
     from .mesh import DATA_AXIS
 
-    h, w = config.image_size
-    image_tail = (h, w, 3)
-    label_tail = (config.max_objects, 6)
     # Local rows must be exactly this process's addressable shard, so
     # they must stay divisible by the data-axis devices this process
     # holds (1 on a one-device-per-host pod; >1 single-process).
     local_data = mesh.local_mesh.shape.get(DATA_AXIS, 1)
 
+    def describe(arr):
+        """(dtype char code, *trailing_shape) — the consensus row format.
+        The char round-trips through np.dtype(chr(code)); dtype.num does
+        not reconstruct."""
+        return (ord(arr.dtype.char),) + tuple(arr.shape[1:])
+
     it = iter(local_iterator)
     exhausted = False
+    template = None  # ((img dtype_num, *tail), (lab dtype_num, *tail))
     while True:
         batch = None
         if not exhausted:
             batch = next(it, None)
             exhausted = batch is None
-        n = 0 if batch is None else int(np.asarray(batch[0]).shape[0])
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            counts = np.atleast_1d(np.asarray(
-                multihost_utils.process_allgather(np.asarray(n, np.int32))))
-            round_n = int(counts.max())
-        else:
-            round_n = n
-        if round_n == 0:
-            return
-        round_n = -(-round_n // local_data) * local_data
-        if batch is None:
-            images = np.zeros((0,) + image_tail, np.float32)
-            labels = np.zeros((0,) + label_tail, np.float32)
-        else:
+        if batch is not None:
             images = np.asarray(batch[0])
             labels = np.asarray(batch[1])
+            n = images.shape[0]
+            template = (describe(images), describe(labels))
+        else:
+            n = 0
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            # One vector per round: this process's count AND its batch
+            # layout (dtype + trailing dims for images and labels). A
+            # process whose shard is exhausted (or empty from round 1)
+            # pads with the layout of a process that still has data —
+            # config-derived float32 defaults would dtype/shape-mismatch
+            # a uint8 or off-config stream and desync the assembly, the
+            # exact failure mode these rounds exist to prevent.
+            row = [n] + ([v for part in template for v in part]
+                         if template is not None else [])
+            width = 16  # generous fixed width for the layout encoding
+            row = (row + [-1] * width)[:width]
+            table = np.asarray(multihost_utils.process_allgather(
+                np.asarray(row, np.int32)))
+            table = np.atleast_2d(table)
+            round_n = int(table[:, 0].max())
+            if round_n == 0:
+                return
+            if template is None:
+                donor = table[int(table[:, 0].argmax())]
+                vals = [int(v) for v in donor[1:] if v != -1]
+                img_len = len(vals) - 3  # labels carry dtype + 2 dims
+                template = ((vals[0],) + tuple(vals[1:img_len]),
+                            tuple(vals[img_len:]))
+        else:
+            round_n = n
+            if round_n == 0:
+                return
+        round_n = -(-round_n // local_data) * local_data
+        if batch is None:
+            (img_dt, *img_tail), (lab_dt, *lab_tail) = template
+            images = np.zeros((0,) + tuple(img_tail), np.dtype(chr(img_dt)))
+            labels = np.zeros((0,) + tuple(lab_tail), np.dtype(chr(lab_dt)))
         pad = round_n - n
         if pad:
             images = np.concatenate(

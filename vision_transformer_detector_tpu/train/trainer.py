@@ -172,7 +172,7 @@ def evaluate_map(params, dataset: Iterable, config: DetectorConfig,
             "(Trainer(fast_metric=True), the default)")
     if mesh is not None and jax.process_count() > 1:
         from ..parallel.data import synced_global_eval_batches
-        rounds = synced_global_eval_batches(mesh, dataset, config)
+        rounds = synced_global_eval_batches(mesh, dataset)
     else:
         if put_fn is None:
             put_fn = jnp.asarray

@@ -40,6 +40,12 @@ def main() -> None:
                           os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if mode == "cli":
+        # The CLI owns the jax.distributed bring-up here (--distributed):
+        # do NOT initialize in the worker.
+        _cli_train_mode(pid, nprocs, port, out_path)
+        return
+
     from vision_transformer_detector_tpu.parallel.data import (
         initialize_distributed)
 
@@ -271,6 +277,59 @@ def main() -> None:
     print(f"proc {pid}: {result}", flush=True)
 
 
+
+
+def _cli_train_mode(pid, nprocs, port, out_path) -> None:
+    """``cli train --distributed`` end to end: every process runs the
+    SAME command line (the pod launch pattern). The CLI brings up
+    jax.distributed itself, reads each process's input shard off the
+    batch sharding (parallel.data.process_shard_spec), trains with
+    cross-process DP, evaluates over lockstep rounds, and saves a
+    collective checkpoint. The test asserts both processes report the
+    SAME global loss and the checkpoint exists."""
+    import contextlib
+    import io
+
+    from PIL import Image
+
+    from vision_transformer_detector_tpu.cli import main as cli_main
+
+    # Private per-process copy of the SAME deterministic dataset (no
+    # cross-process file races). 10 images: training trims to 8 usable
+    # (2 shards x batch 2 x 2 batches); eval keeps all shard batches.
+    data_dir = f"{out_path}.clidata{pid}"
+    images_dir = os.path.join(data_dir, "images")
+    os.makedirs(images_dir, exist_ok=True)
+    annotations = {}
+    for i in range(10):
+        Image.fromarray(
+            np.full((32, 32, 3), i * 20, np.uint8)).save(
+            os.path.join(images_dir, f"{i:012d}.png"))
+        annotations[str(i)] = [[1, 16.0, 16.0, 8.0, 8.0, 64.0]]
+    ann = os.path.join(data_dir, "ann.json")
+    with open(ann, "w") as f:
+        json.dump(annotations, f)
+
+    ckpt = out_path + ".clickpt"  # SHARED dir: collective orbax save
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main([
+            "train", "--preset", "tiny_96", "--image-size", "32",
+            "--train-images", images_dir, "--train-annotations", ann,
+            "--val-images", images_dir, "--val-annotations", ann,
+            "--epochs", "2", "--epochs-warm-up", "0", "--skip-epochs", "1",
+            "--batch-size", "4", "--data-parallel", str(nprocs),
+            "--distributed", "--coordinator", f"127.0.0.1:{port}",
+            "--num-processes", str(nprocs), "--process-id", str(pid),
+            "--checkpoint-dir", ckpt,
+            "--metrics", out_path + ".metrics.jsonl"])
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    with open(f"{out_path}.cli{pid}", "w") as f:
+        json.dump({"final_loss": result["final_loss"],
+                   "best_ap": result["best_ap"],
+                   "ckpt_exists": os.path.isdir(
+                       os.path.join(ckpt, "final"))}, f)
+    print(f"proc {pid}: cli {result}", flush=True)
 
 
 def _input_pipeline_mode(pid, nprocs, out_path, jax, jnp) -> None:

@@ -63,6 +63,15 @@ def test_cli_train_eval_visualize_plot(dataset, tmp_path, capsys):
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= result["mAP"] <= 1.0
 
+    # Mesh-sharded evaluation (the flags used to be silently ignored):
+    # same mAP as the single-device run above.
+    main(["evaluate", "--val-images", dataset["images"],
+          "--val-annotations", dataset["annotations"],
+          "--restore", "final", "--data-parallel", "4",
+          "--model-parallel", "2", *common(dataset, tmp_path)])
+    sharded = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sharded["mAP"] == pytest.approx(result["mAP"], abs=1e-6)
+
     main(["evaluate", "--val-images", dataset["images"],
           "--val-annotations", dataset["annotations"],
           "--restore", "final", "--protocol", "coco",

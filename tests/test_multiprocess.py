@@ -152,3 +152,40 @@ def test_multi_host_input_pipeline(tmp_path):
     assert len(results["batches"]) == 2
     for got, want in results["batches"]:
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_cli_train_distributed(tmp_path):
+    """The pod launch pattern end to end: two processes run the IDENTICAL
+    `cli train --distributed --data-parallel 2 ...` command line; the CLI
+    brings up jax.distributed, shards the input off the batch sharding,
+    trains with cross-process DP, evaluates over lockstep rounds, and
+    writes a collective checkpoint. Both processes must report the same
+    global loss."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = tmp_path / "mp_cli.json"
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(pid), "2", str(port), str(out),
+         "cli"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("cli-distributed worker timed out")
+        assert p.returncode == 0, stdout[-2000:]
+    r0 = json.loads((tmp_path / "mp_cli.json.cli0").read_text())
+    r1 = json.loads((tmp_path / "mp_cli.json.cli1").read_text())
+    # Same GLOBAL loss on every process: the DP collectives crossed the
+    # process boundary and both saw the same assembled batches.
+    assert r0["final_loss"] == pytest.approx(r1["final_loss"], rel=1e-6)
+    assert np.isfinite(r0["final_loss"])
+    assert 0.0 <= r0["best_ap"] <= 1.0
+    assert r0["ckpt_exists"] and r1["ckpt_exists"]

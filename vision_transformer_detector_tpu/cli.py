@@ -77,7 +77,19 @@ def _build_config(args) -> DetectorConfig:
 
 
 def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
-                   resumable=False):
+                   resumable=False, mesh=None, equalize_shards=False):
+    """Construct the input pipeline; under multi-process SPMD (``mesh``
+    on >1 process) each process loads only ITS shard of the batch, with
+    the shard assignment read off the batch sharding
+    (parallel.data.process_shard_spec).
+
+    ``equalize_shards`` (training): trim the path list so every process
+    yields the SAME number of full batches — differing batch counts
+    would desync the train step's collectives and hang the pod (eval
+    doesn't need it: evaluate_map's lockstep rounds pad instead, so no
+    image is dropped)."""
+    import jax
+
     from .data.annotations import load_annotations_dict
     from .data.pipeline import (
         CocoDetectionDataset, ResumableDataset, list_image_paths)
@@ -90,16 +102,44 @@ def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
         # permutation per epoch, seeded by (seed, epoch)) — pre-shuffling
         # the path list here would just permute its input once.
         shuffle=shuffle and not resumable, seed=0)
+    batch_size = args.batch_size
+    shard = {}
+    if mesh is not None and jax.process_count() > 1:
+        from .parallel.data import process_shard_spec
+
+        shard_index, num_shards, batch_size = process_shard_spec(
+            mesh, args.batch_size)
+        shard = {"shard_index": shard_index, "num_shards": num_shards}
+        if equalize_shards:
+            usable = (len(paths) // (num_shards * batch_size)
+                      ) * num_shards * batch_size
+            if usable == 0:
+                raise SystemExit(
+                    f"{len(paths)} images cannot fill one global batch "
+                    f"of {args.batch_size} across {num_shards} input "
+                    "shards")
+            paths = paths[:usable]
     if resumable:
         return ResumableDataset(
-            paths, annotations, config, batch_size=args.batch_size,
-            shuffle=shuffle, seed=getattr(args, "seed", 0))
+            paths, annotations, config, batch_size=batch_size,
+            shuffle=shuffle, seed=getattr(args, "seed", 0), **shard)
     return CocoDetectionDataset(
-        paths, annotations, config, batch_size=args.batch_size)
+        paths, annotations, config, batch_size=batch_size, **shard)
 
 
 def _maybe_mesh(args):
+    if getattr(args, "distributed", False):
+        # Multi-host bring-up must precede any backend use; after it,
+        # jax.devices() is the GLOBAL device list the mesh spans.
+        from .parallel.data import initialize_distributed
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
     if args.data_parallel <= 1 and args.model_parallel <= 1:
+        if getattr(args, "distributed", False):
+            raise SystemExit(
+                "--distributed requires a mesh: pass --data-parallel "
+                "and/or --model-parallel covering all devices in the "
+                "process group")
         return None
     from .parallel.mesh import create_mesh
     return create_mesh(data=args.data_parallel, model=args.model_parallel)
@@ -118,17 +158,19 @@ def cmd_train(args) -> None:
         adam_mu_dtype=moments, adam_nu_dtype=moments)
     loss_config = LossConfig()
 
+    mesh = _maybe_mesh(args)  # multi-host bring-up happens here, first
     train_data = _build_dataset(args, config, args.train_images,
                                 args.train_annotations, shuffle=args.shuffle,
-                                resumable=args.resumable)
+                                resumable=args.resumable, mesh=mesh,
+                                equalize_shards=True)
     eval_data = None
     if args.val_images and args.val_annotations:
         eval_data = _build_dataset(args, config, args.val_images,
-                                   args.val_annotations)
+                                   args.val_annotations, mesh=mesh)
 
     trainer = Trainer(config, loss_config, train_config,
                       steps_per_epoch=max(1, len(train_data)),
-                      mesh=_maybe_mesh(args),
+                      mesh=mesh,
                       checkpoint_dir=args.checkpoint_dir,
                       keep_checkpoints=args.keep_checkpoints,
                       metrics_path=args.metrics)
@@ -156,7 +198,14 @@ def cmd_evaluate(args) -> None:
     from .utils.checkpoint import load_params_npz
 
     config = _build_config(args)
-    trainer = Trainer(config, checkpoint_dir=args.checkpoint_dir)
+    protocol_early = getattr(args, "protocol", "custom")
+    if getattr(args, "distributed", False) and protocol_early != "custom":
+        raise SystemExit(
+            "--distributed evaluation supports --protocol custom only "
+            "(the COCO-protocol evaluators run a host-side loop; score a "
+            "--dump-detections results file with `score-coco` instead)")
+    mesh = _maybe_mesh(args)
+    trainer = Trainer(config, checkpoint_dir=args.checkpoint_dir, mesh=mesh)
     state = trainer.init_state()
     if args.params_npz:
         state["params"] = load_params_npz(args.params_npz, state["params"])
@@ -188,7 +237,7 @@ def cmd_evaluate(args) -> None:
         print(json.dumps(out))
         return
     data = _build_dataset(args, config, args.val_images,
-                          args.val_annotations)
+                          args.val_annotations, mesh=mesh)
     if len(data) == 0:
         raise SystemExit(
             f"no evaluation batches: {args.val_images!r} matched no "
@@ -202,7 +251,13 @@ def cmd_evaluate(args) -> None:
             per_category=args.per_category)
         print(json.dumps({"protocol": "coco", **summary}))
     else:
-        ap = evaluate_map(state["params"], data, config)
+        # The mesh shards eval batches over the data axis (single
+        # process) or assembles lockstep global rounds from the
+        # per-process shards (--distributed).
+        with trainer._mesh_context():
+            ap = evaluate_map(state["params"], data, config,
+                              trainer.eval_step, trainer.metric,
+                              put_fn=trainer._put_images, mesh=mesh)
         print(json.dumps({"mAP": ap}))
 
 
@@ -619,6 +674,18 @@ def build_parser() -> argparse.ArgumentParser:
                        default=(0, -1), metavar=("START", "END"))
         p.add_argument("--data-parallel", type=int, default=1)
         p.add_argument("--model-parallel", type=int, default=1)
+        p.add_argument("--distributed", action="store_true",
+                       help="multi-host SPMD: jax.distributed bring-up "
+                            "before device use; every process runs the "
+                            "same command and loads only its input "
+                            "shard (--batch-size stays the GLOBAL "
+                            "batch). On a TPU pod the coordinator is "
+                            "auto-detected; elsewhere pass --coordinator "
+                            "+ --num-processes + --process-id")
+        p.add_argument("--coordinator", default=None,
+                       help="host:port of process 0 (omit on TPU pods)")
+        p.add_argument("--num-processes", type=int, default=None)
+        p.add_argument("--process-id", type=int, default=None)
         if needs_train:
             p.add_argument("--train-images", required=True)
             p.add_argument("--train-annotations", required=True)

@@ -72,6 +72,24 @@ def process_batch_indices(mesh, global_batch_size: int) -> range:
     return range(starts[0], starts[-1] + per)
 
 
+def process_shard_spec(mesh, global_batch_size: int
+                       ) -> Tuple[int, int, int]:
+    """This process's input-shard assignment for pod loaders.
+
+    Returns ``(shard_index, num_shards, local_batch)``: feed the dataset
+    ``image_paths[shard_index::num_shards]`` with ``local_batch`` rows
+    per batch and ``global_batch_from_local`` assembles full global
+    batches. Processes that hold the SAME rows of the batch (model-axis
+    replication, e.g. a 2x2 data x model mesh or a TP-only mesh) get the
+    same ``shard_index``, so every replica loads identical data — the
+    mapping comes off the batch sharding itself (process_batch_indices),
+    not process-index arithmetic.
+    """
+    rows = process_batch_indices(mesh, global_batch_size)
+    local = len(rows)
+    return rows.start // local, global_batch_size // local, local
+
+
 def global_batch_from_local(mesh, local_batch: np.ndarray) -> jax.Array:
     """Assemble a global array from this process's local batch shard.
 

@@ -72,10 +72,14 @@ def test_cli_train_eval_visualize_plot(dataset, tmp_path, capsys):
     sharded = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert sharded["mAP"] == pytest.approx(result["mAP"], abs=1e-6)
 
+    # batch 3 over 4 images: the OFFICIAL protocol must score the ragged
+    # final batch too (the reference-twin metric above drops it, parity
+    # with vtu.py:609-610).
     main(["evaluate", "--val-images", dataset["images"],
           "--val-annotations", dataset["annotations"],
-          "--restore", "final", "--protocol", "coco",
-          *common(dataset, tmp_path)])
+          "--restore", "final", "--protocol", "coco", "--batch-size", "3",
+          "--checkpoint-dir", str(tmp_path / "ckpt"), "--preset",
+          "tiny_96"])
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert result["protocol"] == "coco"
     for key in ("AP", "AP50", "AP75", "AR@1", "AR@10", "AR@100"):

@@ -77,7 +77,8 @@ def _build_config(args) -> DetectorConfig:
 
 
 def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
-                   resumable=False, mesh=None, equalize_shards=False):
+                   resumable=False, mesh=None, equalize_shards=False,
+                   drop_remainder=True):
     """Construct the input pipeline; under multi-process SPMD (``mesh``
     on >1 process) each process loads only ITS shard of the batch, with
     the shard assignment read off the batch sharding
@@ -124,7 +125,8 @@ def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
             paths, annotations, config, batch_size=batch_size,
             shuffle=shuffle, seed=getattr(args, "seed", 0), **shard)
     return CocoDetectionDataset(
-        paths, annotations, config, batch_size=batch_size, **shard)
+        paths, annotations, config, batch_size=batch_size,
+        drop_remainder=drop_remainder, **shard)
 
 
 def _maybe_mesh(args):
@@ -237,7 +239,12 @@ def cmd_evaluate(args) -> None:
         print(json.dumps(out))
         return
     data = _build_dataset(args, config, args.val_images,
-                          args.val_annotations, mesh=mesh)
+                          args.val_annotations, mesh=mesh,
+                          # The reference's metric drops the ragged final
+                          # batch like its tf.data pipeline did
+                          # (vtu.py:609-610, parity); the OFFICIAL
+                          # protocol must score every image.
+                          drop_remainder=(protocol != "coco"))
     if len(data) == 0:
         raise SystemExit(
             f"no evaluation batches: {args.val_images!r} matched no "
@@ -887,6 +894,13 @@ def main(argv=None) -> None:
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if (getattr(args, "distributed", False)
+            and args.command not in ("train", "evaluate")):
+        # Refuse rather than silently run single-process: the other
+        # subcommands never reach _maybe_mesh's bring-up.
+        raise SystemExit(
+            f"--distributed is supported by train/evaluate, not "
+            f"{args.command!r}")
     args.func(args)
 
 

@@ -398,3 +398,29 @@ def test_trainer_prefetch_snapshots_resume_state(tmp_path):
         if seen == 3:
             break
     assert ds.get_state()["batch"] == 4   # one ahead, as documented
+
+
+def test_resumable_shards_equalized_and_rotating(tmp_path):
+    """Sharded ResumableDataset epochs: every shard yields the SAME
+    number of batches (a one-image imbalance would desync multi-host
+    train collectives), and under shuffle the dropped remainder ROTATES
+    across epochs instead of permanently excluding the listing's tail."""
+    from vision_transformer_detector_tpu.config import DetectorConfig
+    from vision_transformer_detector_tpu.data.pipeline import (
+        ResumableDataset)
+
+    cfg = DetectorConfig(image_size=(16, 16))
+    paths = [f"/fake/{i:012d}.jpg" for i in range(9)]  # 9 over 2 shards
+    seen = [set(), set()]
+    for shard in (0, 1):
+        ds = ResumableDataset(paths, {}, cfg, batch_size=2, shuffle=True,
+                              seed=7, shard_index=shard, num_shards=2)
+        assert len(ds) == 2  # floor(9/2)=4 per shard -> 2 full batches
+        for epoch in range(4):
+            epoch_paths = ds._epoch_paths(epoch)
+            assert len(epoch_paths) == 4  # equalized, not 5-vs-4
+            seen[shard].update(epoch_paths)
+    # Disjoint shards per epoch is guaranteed by the strided split; over
+    # several shuffled epochs every image (incl. the listing's tail)
+    # gets its turn somewhere.
+    assert seen[0] | seen[1] == set(paths)

@@ -150,3 +150,17 @@ def test_synced_eval_batches_pads_ragged_tail():
     assert np.asarray(valid0).all()
     # An empty iterator yields nothing (and does not raise).
     assert list(synced_global_eval_batches(mesh, [])) == []
+
+
+def test_process_shard_spec_single_process():
+    from vision_transformer_detector_tpu.parallel.data import (
+        process_shard_spec)
+
+    mesh = create_mesh(data=4, model=2)
+    shard_index, num_shards, local = process_shard_spec(mesh, 8)
+    # One process: it holds the whole batch.
+    assert (shard_index, num_shards, local) == (0, 1, 8)
+    # Non-divisible global batch fails loudly, not with a bogus spec.
+    import pytest
+    with pytest.raises(ValueError, match="not divisible"):
+        process_shard_spec(mesh, 5)

@@ -108,10 +108,20 @@ def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
     if mesh is not None and jax.process_count() > 1:
         from .parallel.data import process_shard_spec
 
+        if not paths:
+            # Raised on EVERY process (they list the same directory):
+            # a local-shard emptiness check would SystemExit on one
+            # process while its peers proceed into collectives and hang.
+            raise SystemExit(f"no images under {images_arg!r}")
         shard_index, num_shards, batch_size = process_shard_spec(
             mesh, args.batch_size)
         shard = {"shard_index": shard_index, "num_shards": num_shards}
-        if equalize_shards:
+        if equalize_shards and not resumable:
+            # Training collectives need the SAME number of full batches
+            # per process. ResumableDataset equalizes per epoch AFTER
+            # its shuffle (so the dropped remainder rotates); a one-time
+            # trim here would permanently exclude the tail images from
+            # every epoch.
             usable = (len(paths) // (num_shards * batch_size)
                       ) * num_shards * batch_size
             if usable == 0:
@@ -120,6 +130,13 @@ def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
                     f"of {args.batch_size} across {num_shards} input "
                     "shards")
             paths = paths[:usable]
+        elif not equalize_shards:
+            # Eval: keep every image — lockstep rounds pad uneven/ragged
+            # shards instead of dropping them (the single-host custom
+            # metric keeps the reference's drop_remainder parity; a
+            # sharded run would otherwise drop a DIFFERENT subset and
+            # diverge from the single-host number for no reason).
+            drop_remainder = False
     if resumable:
         return ResumableDataset(
             paths, annotations, config, batch_size=batch_size,
@@ -200,8 +217,8 @@ def cmd_evaluate(args) -> None:
     from .utils.checkpoint import load_params_npz
 
     config = _build_config(args)
-    protocol_early = getattr(args, "protocol", "custom")
-    if getattr(args, "distributed", False) and protocol_early != "custom":
+    protocol = getattr(args, "protocol", "custom")
+    if getattr(args, "distributed", False) and protocol != "custom":
         raise SystemExit(
             "--distributed evaluation supports --protocol custom only "
             "(the COCO-protocol evaluators run a host-side loop; score a "
@@ -213,7 +230,6 @@ def cmd_evaluate(args) -> None:
         state["params"] = load_params_npz(args.params_npz, state["params"])
     elif args.restore:
         state = trainer.restore(state, args.restore)
-    protocol = getattr(args, "protocol", "custom")
     dump = getattr(args, "dump_detections", None)
     if dump and protocol != "coco-original":
         raise SystemExit("--dump-detections requires "
@@ -245,7 +261,15 @@ def cmd_evaluate(args) -> None:
                           # (vtu.py:609-610, parity); the OFFICIAL
                           # protocol must score every image.
                           drop_remainder=(protocol != "coco"))
-    if len(data) == 0:
+    import jax as _jax
+
+    if len(data) == 0 and not (mesh is not None
+                               and _jax.process_count() > 1):
+        # Multi-process: an EMPTY LOCAL shard is legal (the lockstep
+        # rounds pad it from a donor process); exiting here on one
+        # process while peers enter collectives would hang the pod.
+        # The global-emptiness case raises inside _build_dataset on
+        # every process alike.
         raise SystemExit(
             f"no evaluation batches: {args.val_images!r} matched no "
             "images, or --batch-size exceeds the dataset size")

@@ -321,12 +321,18 @@ class ResumableDataset:
             rng.shuffle(paths)
         shard = self.dataset_kwargs.get("shard_index", 0)
         num = self.dataset_kwargs.get("num_shards", 1)
-        return paths[shard::num]
+        # Equal shard lengths across hosts: strided shards differ by up
+        # to one image, which can give one host one MORE full batch and
+        # desync the train collectives. Capping every shard at the floor
+        # keeps the counts equal, and under shuffle the dropped
+        # remainder rotates per epoch instead of permanently excluding
+        # the tail of the listing.
+        return paths[shard::num][:len(paths) // num] if num > 1 \
+            else paths
 
     def __len__(self) -> int:
-        shard = self.dataset_kwargs.get("shard_index", 0)
         num = self.dataset_kwargs.get("num_shards", 1)
-        per_shard = len(range(shard, len(self.image_paths), num))
+        per_shard = len(self.image_paths) // num
         return per_shard // self.batch_size
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

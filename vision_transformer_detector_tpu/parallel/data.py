@@ -85,6 +85,15 @@ def process_shard_spec(mesh, global_batch_size: int
     mapping comes off the batch sharding itself (process_batch_indices),
     not process-index arithmetic.
     """
+    from .mesh import DATA_AXIS
+
+    data_size = mesh.shape[DATA_AXIS]
+    if global_batch_size % data_size != 0:
+        raise ValueError(
+            f"global batch size {global_batch_size} is not divisible by "
+            f"the data-parallel axis ({data_size} shards); "
+            "process_batch_indices' equal-shard mapping (and the train "
+            "step itself) requires divisibility")
     rows = process_batch_indices(mesh, global_batch_size)
     local = len(rows)
     return rows.start // local, global_batch_size // local, local

@@ -319,6 +319,10 @@ def _cli_train_mode(pid, nprocs, port, out_path) -> None:
             "--val-images", images_dir, "--val-annotations", ann,
             "--epochs", "2", "--epochs-warm-up", "0", "--skip-epochs", "1",
             "--batch-size", "4", "--data-parallel", str(nprocs),
+            # --resumable + --shuffle: the checkpointable input stream
+            # under real multi-process — per-epoch shuffled shards,
+            # equalized lengths, sidecar state beside the checkpoints.
+            "--resumable", "--shuffle", "--seed", "5",
             "--distributed", "--coordinator", f"127.0.0.1:{port}",
             "--num-processes", str(nprocs), "--process-id", str(pid),
             "--checkpoint-dir", ckpt,

@@ -328,12 +328,29 @@ def _cli_train_mode(pid, nprocs, port, out_path) -> None:
             "--checkpoint-dir", ckpt,
             "--metrics", out_path + ".metrics.jsonl"])
     result = json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    # `cli evaluate --distributed` from the collective checkpoint: the
+    # same process group stays up (bring-up is idempotent per process —
+    # _maybe_mesh calls initialize_distributed only once per process
+    # here because evaluate reuses the already-initialized runtime).
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        cli_main([
+            "evaluate", "--preset", "tiny_96", "--image-size", "32",
+            "--val-images", images_dir, "--val-annotations", ann,
+            "--batch-size", "4", "--data-parallel", str(nprocs),
+            "--distributed", "--coordinator", f"127.0.0.1:{port}",
+            "--num-processes", str(nprocs), "--process-id", str(pid),
+            "--restore", "final", "--checkpoint-dir", ckpt])
+    eval_result = json.loads(buf2.getvalue().strip().splitlines()[-1])
+
     with open(f"{out_path}.cli{pid}", "w") as f:
         json.dump({"final_loss": result["final_loss"],
                    "best_ap": result["best_ap"],
+                   "eval_map": eval_result["mAP"],
                    "ckpt_exists": os.path.isdir(
                        os.path.join(ckpt, "final"))}, f)
-    print(f"proc {pid}: cli {result}", flush=True)
+    print(f"proc {pid}: cli {result} eval {eval_result}", flush=True)
 
 
 def _input_pipeline_mode(pid, nprocs, out_path, jax, jnp) -> None:

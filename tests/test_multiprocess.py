@@ -189,3 +189,7 @@ def test_cli_train_distributed(tmp_path):
     assert np.isfinite(r0["final_loss"])
     assert 0.0 <= r0["best_ap"] <= 1.0
     assert r0["ckpt_exists"] and r1["ckpt_exists"]
+    # `cli evaluate --distributed` from the collective checkpoint, run by
+    # the same process group: same global mAP on every process.
+    assert r0["eval_map"] == pytest.approx(r1["eval_map"], abs=1e-6)
+    assert 0.0 <= r0["eval_map"] <= 1.0

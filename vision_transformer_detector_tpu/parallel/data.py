@@ -23,7 +23,12 @@ from .mesh import batch_sharding
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None) -> None:
     """Multi-host bring-up: jax.distributed.initialize with explicit args
-    or TPU-pod auto-detection. Call once per process before device use."""
+    or TPU-pod auto-detection. Call before device use; repeated calls in
+    an already-initialized process are no-ops (one process may run
+    several CLI commands — train then evaluate — against the same
+    process group)."""
+    if jax.distributed.is_initialized():
+        return
     if coordinator_address is None and (num_processes is not None
                                         or process_id is not None):
         raise ValueError(

@@ -63,12 +63,15 @@ def classification_confidence(classification: jnp.ndarray) -> jnp.ndarray:
 def select_detections(decoded: jnp.ndarray,
                       objectness_threshold: float = 0.5,
                       confidence_threshold: float = 0.5):
-    """On-device detection filter used by inference/serving.
+    """On-device threshold filter with the METRIC's positivity semantics.
 
     Returns ``(keep_mask, class_id, class_confidence)`` for the decoded
     predictions; static shapes (a boolean mask, not a gather) so the whole
     postprocess stays inside one XLA program. Threshold semantics match the
     metric's positivity test (vtd.py:1378-1384): strictly greater than.
+    The serving path instead ranks by combined score + NMS (ops/nms.py);
+    use this when a result must agree with what the mAP metric counts as
+    a positive prediction.
     """
     objectness = decoded[..., 0]
     classification = decoded[..., 1]

@@ -61,6 +61,13 @@ def main() -> None:
     parser.add_argument("--bf16-moments", action="store_true",
                         help="bf16 Adam moment state (stochastic-rounded "
                              "nu; train/optimizer.py)")
+    parser.add_argument("--epochs-per-call", type=int, default=1,
+                        help="device-resident training window: run K "
+                             "epochs per dispatch via lax.scan "
+                             "(make_multi_step) — amortises the ~50 ms "
+                             "per-epoch host round-trip on a tunneled "
+                             "chip; pick a divisor of --eval-every to "
+                             "avoid extra scan compiles")
     parser.add_argument("--metrics", default="overfit_metrics.jsonl")
     args = parser.parse_args()
 
@@ -94,7 +101,8 @@ def main() -> None:
     data = [(images, labels)]
 
     tic = time.time()
-    state = trainer.fit(state, data, epochs=args.epochs, eval_data=data)
+    state = trainer.fit(state, data, epochs=args.epochs, eval_data=data,
+                        epochs_per_call=args.epochs_per_call)
     toc = time.time()
 
     result = {

@@ -125,6 +125,70 @@ def test_trainer_fit_smoke(tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+def _two_batch_data():
+    images1, labels1 = _batch()
+    rng = np.random.default_rng(3)
+    h, w = TINY.image_size
+    images2 = rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32)
+    labels2 = np.full((2, TINY.max_objects, 6), -8.0, np.float32)
+    labels2[..., 0] = 0.0
+    labels2[0, 0] = (1, 12, 20.0, 12.0, 6.0, 9.0)
+    return [(np.asarray(images1), np.asarray(labels1)),
+            (images2, labels2)]
+
+
+@pytest.mark.parametrize("dropout", [None, 0.25])
+def test_fit_scanned_matches_loop(tmp_path, dropout):
+    """epochs_per_call > 1 (the device-resident lax.scan window) must be
+    observably identical to the per-epoch loop: same rng split chain ->
+    same per-epoch losses (exactly so with dropout active), same eval
+    cadence, same final params."""
+    config = TINY.replace(dropout=dropout) if dropout else TINY
+    data = _two_batch_data()
+    eval_data = [data[0]]
+
+    def run(epochs_per_call, tag):
+        trainer = Trainer(
+            config, LOSS,
+            TrainConfig(learning_rate=1e-3, epochs_warm_up=2,
+                        skip_epochs=3),
+            checkpoint_dir=str(tmp_path / tag),
+            metrics_path=str(tmp_path / f"{tag}.jsonl"))
+        state = trainer.init_state()
+        state = trainer.fit(state, data, epochs=7, eval_data=eval_data,
+                            epochs_per_call=epochs_per_call)
+        return trainer, state
+
+    t_loop, s_loop = run(1, "loop")
+    t_scan, s_scan = run(4, "scan")  # does not divide the cadence: windows
+    # must still end exactly at eval epochs 2, 5 and ckpt epochs 0, 3, 6
+    np.testing.assert_allclose(t_loop.loss_record, t_scan.loss_record,
+                               rtol=2e-5, atol=1e-6)
+    assert len(t_scan.loss_record) == 7
+    assert t_scan.ap_record == pytest.approx(t_loop.ap_record)
+    assert len(t_scan.ap_record) == 2  # epochs 2 and 5
+    for a, b in zip(jax.tree_util.tree_leaves(s_loop["params"]),
+                    jax.tree_util.tree_leaves(s_scan["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    assert int(s_scan["step"]) == 7 * len(data)
+    # metrics jsonl carries one record per epoch either way
+    assert sum(1 for _ in open(tmp_path / "scan.jsonl")) == 7
+    # the periodic "ongoing" checkpoint exists (epoch 0/3/6 cadence)
+    assert (tmp_path / "scan" / "ongoing").is_dir()
+
+
+def test_fit_scanned_rejects_streaming_dataset():
+    trainer = Trainer(TINY, LOSS, TC)
+    state = trainer.init_state()
+
+    def gen():
+        yield _batch()
+
+    with pytest.raises(ValueError, match="materialized"):
+        trainer.fit(state, gen(), epochs=2, epochs_per_call=2)
+
+
 def test_fit_rejects_exhausted_generator():
     """A one-shot generator passed as train_data yields zero batches from
     epoch 2 on; the trainer must raise a descriptive error instead of an

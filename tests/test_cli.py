@@ -286,6 +286,37 @@ def test_cli_train_resumable_resume(dataset, tmp_path, capsys):
         saved["epoch"], saved["batch"])
 
 
+def test_cli_train_epochs_per_call(dataset, tmp_path, capsys):
+    """--epochs-per-call K: the device-resident scanned window drives the
+    same run as the per-epoch loop — one metrics record per epoch, eval
+    cadence intact — and rejects stream-mutating flag combinations."""
+    metrics = str(tmp_path / "m.jsonl")
+    main(["train",
+          "--train-images", dataset["images"],
+          "--train-annotations", dataset["annotations"],
+          "--val-images", dataset["images"],
+          "--val-annotations", dataset["annotations"],
+          "--epochs", "5", "--learning-rate", "1e-4",
+          "--epochs-warm-up", "1", "--skip-epochs", "2",
+          "--epochs-per-call", "3",
+          "--metrics", metrics, *common(dataset, tmp_path)])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(result["final_loss"])
+    assert 0.0 <= result["best_ap"] <= 1.0
+    records = [json.loads(line) for line in open(metrics)]
+    assert [r["epoch"] for r in records] == list(range(5))
+    # eval fired at warm-up cadence epochs 1 and 3 despite the windows
+    assert [r["epoch"] for r in records if "ap" in r] == [1, 3]
+
+    for bad in ("--shuffle", "--resumable"):
+        with pytest.raises(SystemExit, match="incompatible"):
+            main(["train",
+                  "--train-images", dataset["images"],
+                  "--train-annotations", dataset["annotations"],
+                  "--epochs", "2", "--epochs-per-call", "2", bad,
+                  *common(dataset, tmp_path)])
+
+
 def test_cli_score_coco(tmp_path, capsys):
     """score-coco: standalone official-protocol scoring of a results
     JSON, no model/checkpoint involved."""

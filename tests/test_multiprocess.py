@@ -57,7 +57,7 @@ def test_two_process_training_matches_single_device(tmp_path, mode):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=240)
+            stdout, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -111,7 +111,7 @@ def test_resume_across_process_group_generations(tmp_path):
             text=True) for pid in range(2)]
         for p in procs:
             try:
-                stdout, _ = p.communicate(timeout=240)
+                stdout, _ = p.communicate(timeout=600)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
@@ -142,7 +142,7 @@ def test_multi_host_input_pipeline(tmp_path):
         text=True) for pid in range(2)]
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=240)
+            stdout, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -175,7 +175,7 @@ def test_cli_train_distributed(tmp_path):
         text=True) for pid in range(2)]
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=240)
+            stdout, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

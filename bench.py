@@ -100,21 +100,40 @@ def main() -> None:
         jax.random.PRNGKey(1), (batch_size, h, w, 3),
         minval=-1.0, maxval=1.0)
 
-    @jax.jit
-    def infer(params, images):
-        return transform_predictions(forward(params, images, config), config)
-
-    # Warm-up / compile.
-    infer(params, images).block_until_ready()
-
     steps = 10 if on_tpu else 2
+
+    # Honest timing (docs/DESIGN.md): on this tunnel block_until_ready
+    # returns WITHOUT syncing (verified again 2026-08-18 post-outage: a
+    # naive 10-dispatch loop "measured" 118k img/s, i.e. ~1 ms/dispatch),
+    # so iterations are CHAINED through a data dependency inside ONE jit
+    # and the run ends in a scalar fetch (np.asarray does sync). The
+    # feedback term out.mean()*1e-12 underflows against [-1,1] images —
+    # every iteration computes the exact same program as a single call —
+    # but XLA cannot fold a data-dependent addend, so no iteration can
+    # be elided or overlapped out of the measurement.
+    import numpy as np
+
+    @jax.jit
+    def infer_chain(params, images):
+        def body(imgs, _):
+            out = transform_predictions(
+                forward(params, imgs, config), config)
+            feedback = (out.mean() * 1e-12).astype(imgs.dtype)
+            return imgs + feedback, ()
+        imgs, _ = jax.lax.scan(body, images, None, length=steps)
+        return imgs[0, 0, 0, 0]
+
+    _ = np.asarray(infer_chain(params, images))  # compile + first run
+    if on_tpu:
+        from _timing import roundtrip_ms  # tools/ (sys.path set above)
+        rt_s = roundtrip_ms() / 1e3
+    else:
+        rt_s = 0.0
     tic = time.perf_counter()
-    for _ in range(steps):
-        out = infer(params, images)
-    out.block_until_ready()
+    _ = np.asarray(infer_chain(params, images))
     toc = time.perf_counter()
 
-    img_per_s = batch_size * steps / (toc - tic)
+    img_per_s = batch_size * steps / (toc - tic - rt_s)
     h = config.image_size[0]
     print(json.dumps({
         "metric": f"{h}px batch inference throughput "

@@ -4,8 +4,11 @@ The reference's only timing is wall-clock bookends in the notebook
 (SURVEY.md §5 tracing); here:
   * ``trace`` — context manager around ``jax.profiler`` writing a
     TensorBoard-loadable trace,
-  * ``time_jitted`` — the standard compile-then-time loop with
-    ``block_until_ready`` (device-honest throughput numbers),
+  * ``time_jitted`` — compile-then-time loop that ends in a real scalar
+    fetch (device-honest throughput numbers on backends whose
+    ``block_until_ready`` is not a sync — the axon tunnel after the
+    2026-08-18 outage stopped applying dispatch backpressure, so naive
+    loops time only dispatch; docs/DESIGN.md),
   * ``flops_estimate`` — analytic FLOPs of a detector config, for
     MXU-utilisation reporting in the benchmark suite.
 """
@@ -31,22 +34,43 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def _fetch_scalar(result) -> None:
+    """Force completion of all enqueued device work by fetching one real
+    element. Device programs execute in order, so materialising any part
+    of the LAST result waits for every prior dispatch; unlike
+    ``block_until_ready`` this cannot be satisfied without execution
+    (the axon tunnel's block_until_ready returns without syncing)."""
+    import jax
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(result)
+    if leaves:
+        # Slice on device first so only one scalar crosses the tunnel.
+        _ = np.asarray(leaves[-1].ravel()[0])
+
+
 def time_jitted(fn: Callable, *args, iterations: int = 10,
                 warmup: int = 1) -> Tuple[float, float]:
     """(seconds_per_call, calls_per_second) for a jitted fn; compiles via
-    warmup calls, synchronises with block_until_ready."""
-    import jax
-
+    warmup calls, synchronises by fetching a scalar from the last result
+    and subtracts the measured fetch-roundtrip floor (~30 ms on the
+    tunnel, ~0 locally)."""
     result = None
     for _ in range(max(1, warmup)):
         result = fn(*args)
-    jax.block_until_ready(result)
+    _fetch_scalar(result)
+    # Fetch-roundtrip floor: min of 3 samples on the now-idle device.
+    rt = []
+    for _ in range(3):
+        tic = time.perf_counter()
+        _fetch_scalar(result)
+        rt.append(time.perf_counter() - tic)
     tic = time.perf_counter()
     for _ in range(iterations):
         result = fn(*args)
-    jax.block_until_ready(result)
+    _fetch_scalar(result)
     toc = time.perf_counter()
-    per_call = (toc - tic) / iterations
+    per_call = (toc - tic - min(rt)) / iterations
     return per_call, 1.0 / per_call
 
 

@@ -73,7 +73,8 @@ def test_train_export_serve_score(dataset, tmp_path, capsys):
     # 3. Serve the artifact over real HTTP (the serving host path that
     #    never imports model-building code) and post every image.
     service = ExportedDetectionService(artifact, score_threshold=-1.0)
-    server = DetectionServer(service, port=0, max_batch=2)
+    server = DetectionServer(service, port=0, batching=True,
+                             max_batch=2)
     responses = {}
     try:
         server.start()

@@ -29,6 +29,52 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+# Gloo's rendezvous KV-get carries a hard-coded 30 s deadline inside the
+# C++ collectives (make_gloo_tcp_collectives takes no timeout); on this
+# 1-core host a loaded machine can stall a worker's import long enough
+# for its peer to exhaust that window. That failure is environmental,
+# not a product bug — retry once on its exact signature.
+_GLOO_FLAKE = "Gloo context initialization failed"
+
+
+def _run_workers(mode_args, nprocs, out, label, attempts=2):
+    """Launch nprocs multiprocess_worker.py processes; returns their
+    logs once all exit 0. Retries (fresh port) when a worker died with
+    the gloo rendezvous-deadline signature; any other failure asserts."""
+    env = dict(os.environ)
+    # The workers must see ONE local CPU device each (true multi-host
+    # shape) — scrub the suite's virtual-8-device forcing.
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    logs = []
+    for attempt in range(attempts):
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), str(nprocs), str(port),
+             str(out)] + list(mode_args),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for pid in range(nprocs)]
+        logs = []
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail(f"{label} worker timed out")
+            logs.append(stdout)
+        if all(p.returncode == 0 for p in procs):
+            return logs
+        if (attempt + 1 < attempts
+                and any(_GLOO_FLAKE in log for log in logs)):
+            continue
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, log[-2000:]
+    return logs
+
+
 @pytest.mark.parametrize("mode", ["dp", "tp", "ring", "dp_tp"])
 def test_two_process_training_matches_single_device(tmp_path, mode):
     """dp: gradient psum crosses the process boundary. tp: megatron
@@ -41,30 +87,7 @@ def test_two_process_training_matches_single_device(tmp_path, mode):
     order-sensitive assembly check inside the worker."""
     nprocs = 4 if mode == "dp_tp" else 2
     out = tmp_path / "mp.json"
-    port = _free_port()
-    env = dict(os.environ)
-    # The workers must see ONE local CPU device each (true multi-host
-    # shape) — scrub the suite's virtual-8-device forcing.
-    env["XLA_FLAGS"] = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f)
-    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(pid), str(nprocs), str(port),
-         str(out), mode],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True) for pid in range(nprocs)]
-    logs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("multiprocess worker timed out")
-        logs.append(stdout)
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, log[-2000:]
+    _run_workers([mode], nprocs, out, "multiprocess")
 
     results = json.loads(out.read_text())
     # Across a REAL process boundary equals the single-device run on
@@ -93,30 +116,11 @@ def test_resume_across_process_group_generations(tmp_path):
     checkpoints. Phase 2: a brand-new process group restores and trains
     2 more. The stitched trajectory equals 4 uninterrupted single-device
     steps — crash recovery on a pod, end to end."""
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f)
-    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
-
     outs = {}
     for phase in (1, 2):
         # Both phases share the checkpoint dir via a common out stem.
         out = tmp_path / "mp_resume.json"
-        port = _free_port()
-        procs = [subprocess.Popen(
-            [sys.executable, _WORKER, str(pid), "2", str(port), str(out),
-             "resume", str(phase)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True) for pid in range(2)]
-        for p in procs:
-            try:
-                stdout, _ = p.communicate(timeout=600)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                pytest.fail(f"phase {phase} worker timed out")
-            assert p.returncode == 0, stdout[-2000:]
+        _run_workers(["resume", str(phase)], 2, out, f"phase {phase}")
         outs[phase] = json.loads(out.read_text())
 
     trajectory = outs[1]["phase1"] + outs[2]["phase2"]
@@ -128,26 +132,8 @@ def test_multi_host_input_pipeline(tmp_path):
     assembled by parallel.data.global_batches into global batches, with
     content and row placement checked against the deterministic epoch
     order — the multi-host input pipeline end to end with real files."""
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f)
-    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     out = tmp_path / "mp_input.json"
-    port = _free_port()
-    procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(pid), "2", str(port), str(out),
-         "input"],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True) for pid in range(2)]
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("input-pipeline worker timed out")
-        assert p.returncode == 0, stdout[-2000:]
+    _run_workers(["input"], 2, out, "input-pipeline")
     results = json.loads(out.read_text())
     assert len(results["batches"]) == 2
     for got, want in results["batches"]:
@@ -161,26 +147,8 @@ def test_cli_train_distributed(tmp_path):
     trains with cross-process DP, evaluates over lockstep rounds, and
     writes a collective checkpoint. Both processes must report the same
     global loss."""
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f)
-    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     out = tmp_path / "mp_cli.json"
-    port = _free_port()
-    procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(pid), "2", str(port), str(out),
-         "cli"],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True) for pid in range(2)]
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("cli-distributed worker timed out")
-        assert p.returncode == 0, stdout[-2000:]
+    _run_workers(["cli"], 2, out, "cli-distributed")
     r0 = json.loads((tmp_path / "mp_cli.json.cli0").read_text())
     r1 = json.loads((tmp_path / "mp_cli.json.cli1").read_text())
     # Same GLOBAL loss on every process: the DP collectives crossed the

@@ -150,7 +150,7 @@ def test_http_server_batches_concurrent_requests(service):
 
     from PIL import Image
 
-    server = DetectionServer(service, port=0, max_batch=4,
+    server = DetectionServer(service, port=0, batching=True, max_batch=4,
                              max_wait_ms=50.0)
     server.start()
     try:
@@ -294,7 +294,7 @@ def test_stopped_batcher_rejects_submits(service):
 def test_http_request_timeout_returns_503(service):
     from PIL import Image
 
-    server = DetectionServer(service, port=0, max_batch=8,
+    server = DetectionServer(service, port=0, batching=True, max_batch=8,
                              max_wait_ms=10_000.0, request_timeout=0.2)
     server.start()
     try:
@@ -340,7 +340,7 @@ def test_exported_detection_service_matches_live(tmp_path, service):
             assert da["class_id"] == db["class_id"]
             assert da["score"] == pytest.approx(db["score"], abs=1e-3)
 
-    server = DetectionServer(exported, port=0, max_batch=2,
+    server = DetectionServer(exported, port=0, batching=True, max_batch=2,
                              max_wait_ms=20.0)
     server.start()
     try:
@@ -422,7 +422,7 @@ def test_server_clamps_max_batch_to_export_bundle(tmp_path):
     save_exported(artifact, params, CFG, batch_size=[1, 2])
     service = ExportedDetectionService(artifact, score_threshold=-1.0)
 
-    server = DetectionServer(service, port=0, max_batch=8,
+    server = DetectionServer(service, port=0, batching=True, max_batch=8,
                              max_wait_ms=5.0)   # warmup would raise unclamped
     try:
         assert server.batcher.max_batch == 2
@@ -487,7 +487,8 @@ def test_stats_endpoint(service):
     """GET /stats: outcome counters, latency percentiles, batcher shape."""
     from PIL import Image
 
-    server = DetectionServer(service, port=0, max_batch=4, warmup=False)
+    server = DetectionServer(service, port=0, batching=True, max_batch=4,
+                             warmup=False)
     server.start()
     try:
         base = f"http://127.0.0.1:{server.port}"

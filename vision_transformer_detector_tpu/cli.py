@@ -515,7 +515,7 @@ def _serve(args, service) -> None:
 
     from .serving import DetectionServer
     server = DetectionServer(service, host=args.host, port=args.port,
-                             batching=not args.no_batching,
+                             batching=args.batching,
                              max_batch=args.max_batch,
                              max_wait_ms=args.batch_window_ms,
                              request_timeout=args.request_timeout,
@@ -879,9 +879,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true",
                    help="serve int8-quantized weights (2x MXU peak; "
                         "AP-retention-tested, kernels/quantization.py)")
-    p.add_argument("--no-batching", action="store_true",
-                   help="dispatch each request directly instead of "
-                        "through the micro-batcher")
+    batching = p.add_mutually_exclusive_group()
+    batching.add_argument(
+        "--batching", dest="batching", action="store_true",
+        help="route concurrent requests through the micro-batcher (one "
+             "device call serves up to --max-batch requests) — worth it "
+             "on multi-core hosts with locally-attached chips; direct "
+             "dispatch measured faster on this tunneled 1-core host at "
+             "every load (PERFORMANCE.md round-3 serving tables)")
+    batching.add_argument(
+        "--no-batching", dest="batching", action="store_false",
+        help="dispatch each request directly (the default)")
+    p.set_defaults(batching=False)
     p.add_argument("--max-batch", type=int, default=8,
                    help="micro-batcher cap (device call batch size)")
     p.add_argument("--batch-window-ms", type=float, default=5.0,

@@ -9,20 +9,18 @@ The reference has no serving story (inference is notebook `model.predict`,
     coordinates mapped back to original-image pixels,
   * ``BatchingDetectionService`` — micro-batching front: concurrent
     requests share one device call (collection window closes early once
-    full), amortising the ~31-35 ms per-call dispatch overhead,
+    full), amortising per-call dispatch overhead and the device's
+    small-batch inefficiency,
   * ``DetectionServer`` — stdlib ThreadingHTTPServer: POST /predict with a
-    JPEG body -> JSON detections; GET /healthz. Routes through the
-    micro-batcher by default; request timeouts -> 503; graceful shutdown.
-
-Keep the request queue >=2 deep for peak throughput: per-call dispatch is
-the small-batch bottleneck, not the chip (PERFORMANCE.md round-2 sync vs
-pipelined measurement).
+    JPEG body -> JSON detections; GET /healthz. Direct per-request
+    dispatch by default (measured fastest on this host at every load —
+    see DetectionServer docstring); ``batching=True`` routes through the
+    micro-batcher; request timeouts -> 503; graceful shutdown.
 """
 
 from __future__ import annotations
 
 import collections
-import functools
 import io
 import json
 import math
@@ -37,6 +35,21 @@ import numpy as np
 from .config import DetectorConfig
 from .data.annotations import letterbox_params
 from .data.categories import MODEL_ID_TO_NAME
+
+
+def _pack_raw(scores, classes, boxes, valid):
+    """Pack the (B, k) scores / (B, k) int classes / (B, k, 4) boxes /
+    (B, k) bool valid postprocess outputs into ONE (B, k, 7) float32
+    tensor inside the jitted program. One tensor = one device->host
+    transfer per batch; class ids are exact in float32 (80 << 2^24) and
+    valid rides as 0/1."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([
+        scores[..., None].astype(jnp.float32),
+        classes[..., None].astype(jnp.float32),
+        boxes.astype(jnp.float32),
+        valid[..., None].astype(jnp.float32)], axis=-1)
 
 
 class DetectionService:
@@ -60,22 +73,40 @@ class DetectionService:
                 images = images.astype(jnp.float32) / 127.5 - 1.0
             logits = forward(params, images, config)
             decoded = transform_predictions(logits, config)
-            return postprocess_detections(
+            scores, classes, boxes, valid = postprocess_detections(
                 decoded, k=k, iou_threshold=iou_threshold,
                 score_threshold=score_threshold)
+            return _pack_raw(scores, classes, boxes, valid)
 
         self._predict = jax.jit(predict)
 
     def predict_raw(self, images: np.ndarray):
-        """Async dispatch: returns DEVICE arrays (scores, classes, boxes,
-        valid) without syncing — the pipelined batcher overlaps the next
-        batch's dispatch with this one's completion."""
+        """Async dispatch: returns a DEVICE array — the packed (B, k, 7)
+        detections (see _pack_raw) — without syncing; the pipelined
+        batcher overlaps the next batch's dispatch with this one's
+        completion, and the single packed tensor means ONE device->host
+        fetch per batch instead of four (each fetch is a full ~30 ms
+        roundtrip on the tunnel; four serialized fetches per batch made
+        the batcher LOSE to direct dispatch under load, measured
+        2026-08-18)."""
         return self._predict(self.params, images)
 
     @staticmethod
     def raw_to_detections(raw) -> List[List[dict]]:
-        """Sync + convert predict_raw output to per-image dicts."""
-        scores, classes, boxes, valid = (np.asarray(t) for t in raw)
+        """Sync + convert predict_raw output to per-image dicts.
+
+        Accepts either the packed (B, k, 7) array (live service) or the
+        legacy (scores, classes, boxes, valid) tuple — frozen StableHLO
+        artifacts with a baked postprocess return the tuple and cannot
+        be re-exported from here."""
+        if isinstance(raw, (tuple, list)):
+            scores, classes, boxes, valid = (np.asarray(t) for t in raw)
+        else:
+            packed = np.asarray(raw)     # one transfer
+            scores = packed[..., 0]
+            classes = packed[..., 1].astype(np.int32)
+            boxes = packed[..., 2:6]
+            valid = packed[..., 6] > 0.5
         out: List[List[dict]] = []
         for b in range(scores.shape[0]):
             dets = []
@@ -197,9 +228,10 @@ class ExportedDetectionService(DetectionService):
                     images = images.astype(np.float32) / 127.5 - 1.0
                 return self._exported(images)
         else:
-            postprocess = jax.jit(functools.partial(
-                postprocess_detections, k=k, iou_threshold=iou_threshold,
-                score_threshold=score_threshold))
+            postprocess = jax.jit(lambda decoded: _pack_raw(
+                *postprocess_detections(
+                    decoded, k=k, iou_threshold=iou_threshold,
+                    score_threshold=score_threshold)))
 
             def predict(images):
                 images = np.asarray(images)
@@ -232,7 +264,8 @@ class BatchingDetectionService:
     """
 
     def __init__(self, service: DetectionService, max_batch: int = 8,
-                 max_wait_ms: float = 5.0, pipeline_depth: int = 3,
+                 max_wait_ms: float = 5.0, pipeline_depth: int = 4,
+                 completer_threads: int = 4,
                  bucket_mode: str = "pow2"):
         if bucket_mode not in ("pow2", "exact"):
             raise ValueError(f"unknown bucket_mode {bucket_mode!r}")
@@ -256,18 +289,26 @@ class BatchingDetectionService:
         self.batches_served = 0
         self.images_served = 0
         # Two-stage pipeline: the dispatcher enqueues device work without
-        # syncing; the completer syncs + fulfils in order. Depth > 1 keeps
+        # syncing; a POOL of completers syncs + fulfils. Depth > 1 keeps
         # the device busy during a batch's host round-trip — the measured
         # sync-vs-pipelined gap is ~2x at batch 8 (PERFORMANCE.md
-        # dispatch table), and a single sync worker loses it all.
+        # dispatch table). The pool matters on high-latency links: each
+        # batch's result fetch is a full tunnel roundtrip (~30 ms here),
+        # and ONE completer serializes them — measured 2026-08-18, the
+        # single-completer batcher lost 2.4x to direct dispatch purely on
+        # fetch serialization (direct mode's 8 handler threads overlap
+        # their fetches). Batches complete independently (each fulfils
+        # only its own slots), so out-of-order completion is safe.
         self._inflight: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
-        self._completer = threading.Thread(target=self._complete_loop,
-                                           daemon=True)
+        self._completers = [
+            threading.Thread(target=self._complete_loop, daemon=True)
+            for _ in range(max(1, completer_threads))]
         self._running = True
         self._dispatcher.start()
-        self._completer.start()
+        for t in self._completers:
+            t.start()
 
     def submit(self, image: np.ndarray,
                timeout: Optional[float] = None) -> List[dict]:
@@ -370,6 +411,8 @@ class BatchingDetectionService:
         while True:
             entry = self._inflight.get()
             if entry is None:
+                # Re-post the sentinel so every pool member sees it.
+                self._inflight.put(None)
                 return
             batch, raw = entry
             try:
@@ -414,7 +457,8 @@ class BatchingDetectionService:
             return
         self._queue.put(None)
         self._dispatcher.join(timeout=10)
-        self._completer.join(timeout=10)
+        for t in self._completers:
+            t.join(timeout=10)
         self._running = False
         # Fail any request that raced past the sentinel rather than
         # leaving its submitter blocked forever.
@@ -434,15 +478,23 @@ class DetectionServer:
     """Threaded HTTP wrapper around a DetectionService.
 
     Concurrent POST /predict requests decode their JPEGs on their own
-    handler threads, then ride the shared micro-batcher — one device call
-    serves up to ``max_batch`` requests, which the repo's own dispatch
-    measurements show is worth ~2x+ at concurrent batch-1 load
-    (PERFORMANCE.md). ``batching=False`` restores direct per-request
-    dispatch. ``request_timeout`` bounds the queue wait -> HTTP 503.
+    handler threads, then either dispatch directly (default) or ride the
+    shared micro-batcher (``batching=True``) — one device call serves up
+    to ``max_batch`` requests. The default is DIRECT because it measured
+    faster at every load level on this host (PERFORMANCE.md round-3
+    serving tables: 44 vs 36 req/s at 8 threads, 38 vs 16 at 32): with
+    one CPU core and a ~30 ms-latency tunneled chip, the batcher's
+    serialized stages (one dispatcher thread doing multi-MB host->device
+    transfers) lose to N handler threads overlapping theirs. Enable
+    batching on multi-core hosts with locally-attached chips, where
+    per-call dispatch overhead dominates and the device-side batch
+    amortization (4.4 -> 1.9 ms/img from b1 to b128, PERFORMANCE.md) can
+    actually be banked. ``request_timeout`` bounds the queue wait ->
+    HTTP 503.
     """
 
     def __init__(self, service: DetectionService, host: str = "127.0.0.1",
-                 port: int = 8000, batching: bool = True,
+                 port: int = 8000, batching: bool = False,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
                  request_timeout: float = 30.0, warmup: bool = True,
                  bucket_mode: str = "pow2",

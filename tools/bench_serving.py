@@ -1,10 +1,13 @@
 """Concurrent HTTP serving load test: micro-batching on vs off.
 
-Measures end-to-end wall-clock throughput of the stdlib HTTP server under
-N concurrent client threads posting JPEGs (VERDICT round 2 "done"
-criterion: batching >= 2x the serial batch-1 HTTP path at concurrent
-load). HTTP responses are host-visible data, so plain wall-clock timing
-is honest here — every response has synced through the device.
+Measures end-to-end wall-clock throughput of the stdlib HTTP server
+under N concurrent client threads posting JPEGs. HTTP responses are
+host-visible data, so plain wall-clock timing is honest here — every
+response has synced through the device. History: this harness decided
+the server's default twice — batching was a throughput wash pre-outage
+(PERFORMANCE.md round-3 tables) and measurably WORSE on the restarted
+no-backpressure tunnel (round-3d tables), so direct dispatch is now the
+default and batching is opt-in.
 
 Run on the TPU chip:  python tools/bench_serving.py [--preset reference_608]
 """

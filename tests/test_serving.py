@@ -38,6 +38,28 @@ def test_detect_array_shapes(service):
             assert set(det["box"]) == {"cx", "cy", "h", "w"}
 
 
+def test_packed_raw_roundtrip_is_exact(service):
+    """predict_raw packs (scores, classes, boxes, valid) into one
+    (B, k, 7) tensor (one device->host fetch per call, PERFORMANCE.md
+    round-3d); unpacking must lose nothing vs the tuple path that the
+    baked-postprocess export artifacts still use."""
+    images = np.random.default_rng(7).integers(
+        0, 255, (3, 64, 64, 3), np.uint8)
+    packed = np.asarray(service.predict_raw(images))
+    assert packed.shape == (3, 17, 7) and packed.dtype == np.float32
+    via_packed = service.raw_to_detections(service.predict_raw(images))
+    # The tuple path, reconstructed from the same packed columns.
+    via_tuple = service.raw_to_detections(
+        (packed[..., 0], packed[..., 1].astype(np.int32),
+         packed[..., 2:6], packed[..., 6] > 0.5))
+    assert via_packed == via_tuple
+    # Class ids are exact integers after the float32 ride.
+    for dets in via_packed:
+        for det in dets:
+            assert det["class_id"] == int(det["class_id"])
+            assert 0 <= det["class_id"] < CFG.num_classes
+
+
 def test_detect_jpeg_maps_to_original_pixels(service):
     from PIL import Image
 

@@ -113,27 +113,46 @@ def main() -> None:
     # be elided or overlapped out of the measurement.
     import numpy as np
 
-    @jax.jit
-    def infer_chain(params, images):
-        def body(imgs, _):
-            out = transform_predictions(
-                forward(params, imgs, config), config)
-            feedback = (out.mean() * 1e-12).astype(imgs.dtype)
-            return imgs + feedback, ()
-        imgs, _ = jax.lax.scan(body, images, None, length=steps)
-        return imgs[0, 0, 0, 0]
+    def build_chain(n_steps):
+        @jax.jit
+        def infer_chain(params, images):
+            def body(imgs, _):
+                out = transform_predictions(
+                    forward(params, imgs, config), config)
+                feedback = (out.mean() * 1e-12).astype(imgs.dtype)
+                return imgs + feedback, ()
+            imgs, _ = jax.lax.scan(body, images, None, length=n_steps)
+            return imgs[0, 0, 0, 0]
+        return infer_chain
 
+    infer_chain = build_chain(steps)
     _ = np.asarray(infer_chain(params, images))  # compile + first run
     if on_tpu:
         from _timing import roundtrip_ms  # tools/ (sys.path set above)
         rt_s = roundtrip_ms() / 1e3
     else:
         rt_s = 0.0
-    tic = time.perf_counter()
-    _ = np.asarray(infer_chain(params, images))
-    toc = time.perf_counter()
+    # Corrected elapsed must stay positive and comfortably above the
+    # roundtrip floor (round-3 advisor finding: short chains / fast
+    # presets could go negative under tunnel jitter with no error).
+    # Lengthen the chain (more scan steps) until elapsed >= 3x rt_s.
+    while True:
+        tic = time.perf_counter()
+        _ = np.asarray(infer_chain(params, images))
+        toc = time.perf_counter()
+        if (toc - tic) >= 3.0 * rt_s or steps >= 1000 or not on_tpu:
+            break
+        steps *= 4
+        infer_chain = build_chain(steps)
+        _ = np.asarray(infer_chain(params, images))  # compile new length
 
-    img_per_s = batch_size * steps / (toc - tic - rt_s)
+    corrected = toc - tic - rt_s
+    if corrected <= 0:
+        raise SystemExit(
+            f"bench: corrected elapsed {corrected * 1e3:.2f} ms is "
+            f"non-positive (elapsed {(toc - tic) * 1e3:.2f} ms, roundtrip "
+            f"{rt_s * 1e3:.2f} ms) — tunnel jitter exceeded the run")
+    img_per_s = batch_size * steps / corrected
     h = config.image_size[0]
     print(json.dumps({
         "metric": f"{h}px batch inference throughput "

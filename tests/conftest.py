@@ -23,3 +23,7 @@ jax.config.update("jax_enable_x64", False)
 # compiles expensive; reruns hit the cache.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+except AttributeError:
+    pass

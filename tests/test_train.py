@@ -137,8 +137,14 @@ def _two_batch_data():
             (images2, labels2)]
 
 
-@pytest.mark.parametrize("dropout", [None, 0.25])
-def test_fit_scanned_matches_loop(tmp_path, dropout):
+@pytest.mark.parametrize("dropout,use_mesh", [
+    (None, False), (0.25, False),
+    # Mesh branch of _fit_scanned: the stacked batches are resharded to
+    # P(None, 'data') and the scan runs under the mesh (round-3 advisor
+    # finding: this path was CLI-reachable but untested).
+    (None, True), (0.25, True),
+])
+def test_fit_scanned_matches_loop(tmp_path, dropout, use_mesh):
     """epochs_per_call > 1 (the device-resident lax.scan window) must be
     observably identical to the per-epoch loop: same rng split chain ->
     same per-epoch losses (exactly so with dropout active), same eval
@@ -146,12 +152,17 @@ def test_fit_scanned_matches_loop(tmp_path, dropout):
     config = TINY.replace(dropout=dropout) if dropout else TINY
     data = _two_batch_data()
     eval_data = [data[0]]
+    mesh = None
+    if use_mesh:
+        from vision_transformer_detector_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh(data=2, model=1, devices=jax.devices()[:2])
 
     def run(epochs_per_call, tag):
         trainer = Trainer(
             config, LOSS,
             TrainConfig(learning_rate=1e-3, epochs_warm_up=2,
                         skip_epochs=3),
+            mesh=mesh,
             checkpoint_dir=str(tmp_path / tag),
             metrics_path=str(tmp_path / f"{tag}.jsonl"))
         state = trainer.init_state()

@@ -203,13 +203,23 @@ def cmd_train(args) -> None:
         # stacked images would strain HBM — the scan is an overfit/
         # small-set accelerator, not a general training mode.
         h, w = config.image_size
-        total_bytes = len(train_data) * args.batch_size * h * w * 3 * 4
-        if total_bytes > 4 << 30:
+        # Images + labels of the stacked dataset. This is deliberately a
+        # conservative DATA-ONLY estimate: params, Adam moments, and the
+        # scan's live activations ride on top, so the threshold is held
+        # well below the 16 GiB v5e HBM (round-3 advisor finding: a
+        # 4 GiB images-only check could still OOM once training state
+        # was added).
+        n_images = len(train_data) * args.batch_size
+        total_bytes = (n_images * h * w * 3 * 4
+                       + n_images * config.max_objects * 6 * 4)
+        if total_bytes > 3 << 30:
             raise SystemExit(
                 f"--epochs-per-call: stacking {len(train_data)} batches "
-                f"of {args.batch_size}x{h}x{w} images needs "
-                f"~{total_bytes / (1 << 30):.1f} GiB HBM; use the "
-                "default per-epoch streaming loop for datasets this size")
+                f"of {args.batch_size}x{h}x{w} images (+labels) needs "
+                f"~{total_bytes / (1 << 30):.1f} GiB HBM for the data "
+                "alone, before params/optimizer state/activations; use "
+                "the default per-epoch streaming loop for datasets this "
+                "size")
         train_data = [batch for batch in train_data]
     eval_data = None
     if args.val_images and args.val_annotations:

@@ -579,43 +579,51 @@ class Trainer:
             self._async_ckpt.wait()
         return state
 
+    # The three cadence predicates are shared by _is_event_epoch (the
+    # scanned driver's window-cut test) and _epoch_tail (the actions
+    # themselves) so they cannot drift: a divergence would make the
+    # scanned driver hand _epoch_tail end-of-window state at an epoch
+    # it didn't cut a window for, silently checkpointing/evaluating the
+    # wrong params under that epoch's label.
+    def _weight_check_due(self, epoch: int) -> bool:
+        return bool(self.check_weights_every
+                    and epoch >= self.check_weights_start
+                    and (epoch - self.check_weights_start)
+                    % self.check_weights_every == 0)
+
+    def _eval_due(self, epoch: int) -> bool:
+        tc = self.train_config
+        return (epoch >= tc.epochs_warm_up
+                and (epoch - tc.epochs_warm_up) % tc.skip_epochs == 0)
+
+    def _ckpt_due(self, epoch: int, epochs: int) -> bool:
+        tc = self.train_config
+        return bool(self.checkpoint_dir
+                    and (epoch % tc.skip_epochs == 0
+                         or epoch == epochs - 1))
+
     def _is_event_epoch(self, epoch: int, epochs: int,
                         has_eval: bool) -> bool:
         """True when _epoch_tail does more than record the loss at this
         epoch — the scanned driver must surface the live state then."""
-        tc = self.train_config
-        if (self.check_weights_every
-                and epoch >= self.check_weights_start
-                and (epoch - self.check_weights_start)
-                % self.check_weights_every == 0):
-            return True
-        if (has_eval and epoch >= tc.epochs_warm_up
-                and (epoch - tc.epochs_warm_up) % tc.skip_epochs == 0):
-            return True
-        if self.checkpoint_dir and (
-                epoch % tc.skip_epochs == 0 or epoch == epochs - 1):
-            return True
-        return False
+        return (self._weight_check_due(epoch)
+                or (has_eval and self._eval_due(epoch))
+                or self._ckpt_due(epoch, epochs))
 
     def _epoch_tail(self, state: TrainState, epoch: int, epochs: int,
                     eval_data, epoch_loss: float, tic: float) -> None:
         """Everything the epoch loop does after the train steps: loss
         record, weight watchdog, warm-up-gated eval + best-AP save,
         periodic "ongoing"/rolling checkpoints, metrics record."""
-        tc = self.train_config
         self.loss_record.append(epoch_loss)
 
         record = {"epoch": epoch, "loss": epoch_loss,
                   "wall_s": time.time() - tic}
 
-        if (self.check_weights_every
-                and epoch >= self.check_weights_start
-                and (epoch - self.check_weights_start)
-                % self.check_weights_every == 0):
+        if self._weight_check_due(epoch):
             record.update(self._check_weights(state["params"], epoch))
 
-        if (eval_data is not None and epoch >= tc.epochs_warm_up
-                and (epoch - tc.epochs_warm_up) % tc.skip_epochs == 0):
+        if eval_data is not None and self._eval_due(epoch):
             with self._mesh_context():
                 ap = evaluate_map(
                     state["params"], eval_data, self.config,
@@ -638,8 +646,7 @@ class Trainer:
         # rolling checkpoints run on their own cadence from epoch 0
         # (a run that dies at epoch 499 used to leave an EMPTY
         # checkpoint dir — round-3 review finding).
-        if self.checkpoint_dir and (
-                epoch % tc.skip_epochs == 0 or epoch == epochs - 1):
+        if self._ckpt_due(epoch, epochs):
             self.save(state, name="ongoing")
             if self.keep_checkpoints:
                 self.save_rolling(state)

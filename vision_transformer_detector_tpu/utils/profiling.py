@@ -65,12 +65,32 @@ def time_jitted(fn: Callable, *args, iterations: int = 10,
         tic = time.perf_counter()
         _fetch_scalar(result)
         rt.append(time.perf_counter() - tic)
-    tic = time.perf_counter()
-    for _ in range(iterations):
-        result = fn(*args)
-    _fetch_scalar(result)
-    toc = time.perf_counter()
-    per_call = (toc - tic - min(rt)) / iterations
+    floor = min(rt)
+    # The floor is subtracted from a single timed run; for sub-ms calls
+    # the run must dwarf the floor or tunnel jitter dominates the
+    # corrected elapsed (round-3 advisor finding: vit_s16_224 at
+    # ~0.95 ms/call x 10 iterations ~ 9.5 ms vs a ~30 ms floor could go
+    # non-positive). Scale iterations until the uncorrected elapsed is
+    # >= 10x the floor, then require a positive correction.
+    while True:
+        tic = time.perf_counter()
+        for _ in range(iterations):
+            result = fn(*args)
+        _fetch_scalar(result)
+        toc = time.perf_counter()
+        elapsed = toc - tic
+        if elapsed >= 10.0 * floor or iterations >= 10_000:
+            break
+        iterations *= 4
+    corrected = elapsed - floor
+    if corrected <= 0:
+        raise RuntimeError(
+            f"time_jitted: corrected elapsed {corrected * 1e3:.3f} ms is "
+            f"non-positive (elapsed {elapsed * 1e3:.3f} ms, roundtrip "
+            f"floor {floor * 1e3:.3f} ms over {iterations} iterations) — "
+            "the fetch-roundtrip jitter exceeded the run; re-run with "
+            "more iterations or on a quieter link")
+    per_call = corrected / iterations
     return per_call, 1.0 / per_call
 
 

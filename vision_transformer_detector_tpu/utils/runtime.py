@@ -16,6 +16,17 @@ def enable_compilation_cache(path: str = None) -> None:
                 os.path.abspath(__file__)))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Cache the XLA program only, not backend AOT kernel blobs: the
+    # XLA:CPU AOT results are keyed without the host's machine features,
+    # so a cache written on one host floods stderr with
+    # "cpu_aot_loader.cc ... could lead to SIGILL" errors when read on
+    # another (observed polluting BENCH_r03.json's tail; round-3 verdict
+    # item). The HLO-level cache keeps virtually all of the compile-time
+    # win.
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except AttributeError:  # older jax without the flag
+        pass
 
 
 def probe_accelerator(timeout_s: float = 240.0) -> bool:

@@ -350,6 +350,21 @@ class Trainer:
         step = jnp.zeros((), jnp.int32)
         if self.mesh is not None:
             step = jax.device_put(step, mesh_lib.replicated(self.mesh))
+            # The moments inherited the param shardings through
+            # zeros_like, but optax's scalar leaves (Adam's count, the
+            # schedule step) were created fresh on the default device,
+            # UNCOMMITTED. That mix trains fine — jit treats uncommitted
+            # arrays as reshardable — but a checkpoint restore commits
+            # every leaf to its template sharding, and a later train
+            # step then sees committed device-0 scalars next to
+            # committed mesh arrays and refuses ("incompatible
+            # devices"). Replicate the scalars over the mesh up front so
+            # live state and restored state share one layout.
+            rep = mesh_lib.replicated(self.mesh)
+            opt_state = jax.tree_util.tree_map(
+                lambda x: (jax.device_put(x, rep)
+                           if getattr(x, "ndim", None) == 0 else x),
+                opt_state)
         return {"params": params, "opt_state": opt_state, "step": step}
 
     def _init_state_multiprocess(self, rng) -> TrainState:

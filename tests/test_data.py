@@ -424,3 +424,112 @@ def test_resumable_shards_equalized_and_rotating(tmp_path):
     # several shuffled epochs every image (incl. the listing's tail)
     # gets its turn somewhere.
     assert seen[0] | seen[1] == set(paths)
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-input policy (the reference silently trusted tf.io.decode_image,
+# vtu.py:418-449, and died with an opaque graph error on the first bad file;
+# here the policy is explicit: typed error by default, skip+backfill opt-in).
+# ---------------------------------------------------------------------------
+
+def _corrupt_fixture(tmp_path, corrupt_indices, n=6):
+    """n synthetic JPEGs with the given indices replaced by bad files."""
+    from PIL import Image
+
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"{i:012d}.jpg"
+        if i in corrupt_indices:
+            kind = ["empty", "text", "truncated"][i % 3]
+            if kind == "empty":
+                p.write_bytes(b"")
+            elif kind == "text":
+                p.write_bytes(b"this is not a JPEG at all")
+            else:
+                good = tmp_path / "whole.jpg"
+                Image.fromarray(
+                    np.random.randint(0, 255, (64, 64, 3), np.uint8)
+                ).save(good, quality=95)
+                p.write_bytes(good.read_bytes()[:200])  # cut mid-scan
+        else:
+            Image.fromarray(
+                np.full((32, 32, 3), i * 30 % 255, np.uint8)).save(p)
+        paths.append(str(p))
+    return paths
+
+
+@pytest.mark.parametrize("kind", ["empty", "text", "truncated"])
+def test_load_corrupt_image_raises_typed_error(tmp_path, kind):
+    from vision_transformer_detector_tpu.data.pipeline import (
+        CorruptImageError, load_and_letterbox_image)
+
+    idx = {"empty": 0, "text": 1, "truncated": 2}[kind]
+    path = _corrupt_fixture(tmp_path, {idx}, n=3)[idx]
+    cfg = DetectorConfig(image_size=(32, 32))
+    for use_native in (False, True):
+        with pytest.raises(CorruptImageError) as err:
+            load_and_letterbox_image(path, cfg, use_native=use_native)
+        # The error names the offending file (the whole point).
+        assert path in str(err.value)
+        assert err.value.path == path
+
+
+def test_dataset_on_corrupt_raise_default(tmp_path):
+    from vision_transformer_detector_tpu.data.pipeline import (
+        CorruptImageError)
+
+    paths = _corrupt_fixture(tmp_path, {2})
+    cfg = DetectorConfig(image_size=(32, 32))
+    ds = CocoDetectionDataset(paths, {}, cfg, batch_size=2)
+    with pytest.raises(CorruptImageError):
+        list(ds)
+
+
+def test_dataset_on_corrupt_skip_backfills(tmp_path):
+    """skip drops the bad files, backfills so every batch is full, and
+    records what it dropped."""
+    paths = _corrupt_fixture(tmp_path, {1, 4}, n=8)  # 6 good files
+    annotations = {str(i): [[1, 16.0, 16.0, 8.0, 8.0, 64.0]]
+                   for i in range(8)}
+    cfg = DetectorConfig(image_size=(32, 32))
+    ds = CocoDetectionDataset(paths, annotations, cfg, batch_size=2,
+                              drop_remainder=False, on_corrupt="skip")
+    batches = list(ds)
+    assert len(batches) == 3  # 6 good images / 2
+    for images, labels in batches:
+        assert images.shape == (2, 32, 32, 3)
+        assert labels.shape == (2, 17, 6)
+    assert sorted(ds.skipped_paths) == sorted([paths[1], paths[4]])
+    # Good-file content survives in order: image 0 then 2 (1 dropped).
+    reload0, _ = ds._load_one(paths[0])
+    np.testing.assert_array_equal(batches[0][0][0], reload0)
+    reload2, _ = ds._load_one(paths[2])
+    np.testing.assert_array_equal(batches[0][0][1], reload2)
+
+
+def test_dataset_on_corrupt_skip_drop_remainder(tmp_path):
+    """With drop_remainder, the post-skip tail is dropped like any other
+    partial batch."""
+    paths = _corrupt_fixture(tmp_path, {0}, n=6)  # 5 good files
+    cfg = DetectorConfig(image_size=(32, 32))
+    ds = CocoDetectionDataset(paths, {}, cfg, batch_size=2,
+                              drop_remainder=True, on_corrupt="skip")
+    batches = list(ds)
+    assert len(batches) == 2  # 5 good -> 2 full batches, tail dropped
+    assert all(img.shape[0] == 2 for img, _ in batches)
+
+
+def test_dataset_on_corrupt_validation(tmp_path):
+    cfg = DetectorConfig(image_size=(32, 32))
+    with pytest.raises(ValueError, match="on_corrupt"):
+        CocoDetectionDataset([], {}, cfg, batch_size=2,
+                             on_corrupt="ignore")
+
+
+def test_resumable_rejects_skip(tmp_path):
+    from vision_transformer_detector_tpu.data.pipeline import (
+        ResumableDataset)
+
+    cfg = DetectorConfig(image_size=(32, 32))
+    with pytest.raises(ValueError, match="resume position"):
+        ResumableDataset([], {}, cfg, batch_size=2, on_corrupt="skip")

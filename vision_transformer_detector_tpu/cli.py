@@ -137,13 +137,24 @@ def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
             # sharded run would otherwise drop a DIFFERENT subset and
             # diverge from the single-host number for no reason).
             drop_remainder = False
+    on_corrupt = getattr(args, "on_corrupt", "raise")
+    if on_corrupt == "skip" and jax.process_count() > 1:
+        raise SystemExit(
+            "--on-corrupt skip is single-process only: dropped files "
+            "can give processes different batch counts and desync the "
+            "collectives")
     if resumable:
+        if on_corrupt == "skip":
+            raise SystemExit(
+                "--on-corrupt skip is incompatible with --resumable "
+                "(the resume position is path-index arithmetic that "
+                "skip+backfill breaks)")
         return ResumableDataset(
             paths, annotations, config, batch_size=batch_size,
             shuffle=shuffle, seed=getattr(args, "seed", 0), **shard)
     return CocoDetectionDataset(
         paths, annotations, config, batch_size=batch_size,
-        drop_remainder=drop_remainder, **shard)
+        drop_remainder=drop_remainder, on_corrupt=on_corrupt, **shard)
 
 
 def _maybe_mesh(args):
@@ -757,6 +768,15 @@ def build_parser() -> argparse.ArgumentParser:
                        help="host:port of process 0 (omit on TPU pods)")
         p.add_argument("--num-processes", type=int, default=None)
         p.add_argument("--process-id", type=int, default=None)
+        p.add_argument("--on-corrupt", choices=("raise", "skip"),
+                       default="raise",
+                       help="policy for undecodable image files "
+                            "(zero-byte/truncated/non-image): 'raise' "
+                            "(default) stops with the offending path; "
+                            "'skip' logs+drops each and backfills the "
+                            "batch. 'skip' is single-process only (it "
+                            "can desync multi-process batch counts) and "
+                            "incompatible with --resumable")
         if needs_train:
             p.add_argument("--train-images", required=True)
             p.add_argument("--train-annotations", required=True)

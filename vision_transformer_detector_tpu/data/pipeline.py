@@ -18,6 +18,7 @@ pandas lookups (the pipeline hot spot, SURVEY.md §3.1); here:
 
 from __future__ import annotations
 
+import logging
 import os
 import queue
 import random
@@ -38,6 +39,25 @@ except ImportError:  # pragma: no cover - depends on tools/build_native.sh
 
 def native_available() -> bool:
     return _native_pipeline is not None
+
+
+class CorruptImageError(ValueError):
+    """A file that exists but cannot be decoded as an image (zero-byte,
+    truncated past PIL's tolerance, or a non-image with an image
+    extension).
+
+    The reference silently trusted ``tf.io.decode_image``
+    (vision_transformer_utilities.py:418-449) and died with an opaque
+    graph error on the first bad file. Here the single-image API raises
+    this typed error with the offending path, and the dataset layer
+    offers an explicit skip-vs-fail policy (``on_corrupt``).
+    """
+
+    def __init__(self, path: str, reason: Exception):
+        super().__init__(f"cannot decode image {path!r}: "
+                         f"{type(reason).__name__}: {reason}")
+        self.path = path
+        self.reason = reason
 
 
 def list_image_paths(image_dir: str,
@@ -128,14 +148,20 @@ def load_and_letterbox_image(path: str, config: DetectorConfig,
 
     from PIL import Image
 
-    with Image.open(path) as pil:
-        pil = pil.convert("RGB")
-        ow, oh = pil.size
-        mh, mw = config.image_size
-        scale = max(oh / mh, ow / mw)
-        rh, rw = max(1, round(oh / scale)), max(1, round(ow / scale))
-        pil = pil.resize((rw, rh), Image.BILINEAR)
-        resized = np.asarray(pil, np.uint8)
+    try:
+        with Image.open(path) as pil:
+            pil = pil.convert("RGB")
+            ow, oh = pil.size
+            mh, mw = config.image_size
+            scale = max(oh / mh, ow / mw)
+            rh, rw = max(1, round(oh / scale)), max(1, round(ow / scale))
+            pil = pil.resize((rw, rh), Image.BILINEAR)
+            resized = np.asarray(pil, np.uint8)
+    except (OSError, ValueError, SyntaxError) as exc:
+        # PIL raises UnidentifiedImageError (an OSError) on zero-byte /
+        # non-image files and "image file is truncated" OSErrors mid-
+        # decode; normalize them all to the typed policy error.
+        raise CorruptImageError(path, exc) from exc
 
     top = (mh - rh) // 2
     left = (mw - rw) // 2
@@ -169,7 +195,11 @@ class CocoDetectionDataset:
                  num_shards: int = 1,
                  num_workers: int = 2,
                  prefetch: int = 2,
-                 normalize: bool = True):
+                 normalize: bool = True,
+                 on_corrupt: str = "raise"):
+        if on_corrupt not in ("raise", "skip"):
+            raise ValueError(
+                f"on_corrupt must be 'raise' or 'skip', got {on_corrupt!r}")
         self.image_paths = list(image_paths)[shard_index::num_shards]
         self.annotations = annotations
         self.config = config
@@ -178,8 +208,20 @@ class CocoDetectionDataset:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.normalize = normalize
+        # Corrupt-file policy: 'raise' (default) stops the run with a
+        # CorruptImageError naming the file; 'skip' logs a warning, drops
+        # the file, and BACKFILLS the batch from subsequent paths so
+        # every yielded batch stays full (static shapes for the device).
+        # Multi-host caution: 'skip' can give shards different batch
+        # counts if corrupt files are unevenly distributed, desyncing
+        # train collectives — prefer cleaning the dataset or 'raise'
+        # for multi-process training.
+        self.on_corrupt = on_corrupt
+        self.skipped_paths: List[str] = []
 
     def __len__(self) -> int:
+        """Batch count assuming no skips; with ``on_corrupt='skip'`` this
+        is an upper bound (each dropped file removes one image)."""
         n = len(self.image_paths)
         if self.drop_remainder:
             return n // self.batch_size
@@ -194,16 +236,44 @@ class CocoDetectionDataset:
             image_annotations, original_size, self.config)
         return image, labels
 
+    def _load_or_none(self, path: str
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        try:
+            return self._load_one(path)
+        except CorruptImageError as exc:
+            self.skipped_paths.append(path)
+            logging.getLogger(__name__).warning(
+                "skipping corrupt image (%d so far): %s",
+                len(self.skipped_paths), exc)
+            return None
+
     def _batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         paths = self.image_paths
-        n_batches = len(self)
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for b in range(n_batches):
-                chunk = paths[b * self.batch_size:(b + 1) * self.batch_size]
-                pairs = list(pool.map(self._load_one, chunk))
-                images = np.stack([p[0] for p in pairs])
-                labels = np.stack([p[1] for p in pairs])
-                yield images, labels
+            if self.on_corrupt == "raise":
+                for b in range(len(self)):
+                    chunk = paths[b * self.batch_size:
+                                  (b + 1) * self.batch_size]
+                    pairs = list(pool.map(self._load_one, chunk))
+                    images = np.stack([p[0] for p in pairs])
+                    labels = np.stack([p[1] for p in pairs])
+                    yield images, labels
+                return
+            # 'skip': stream decode results in order, dropping failures
+            # and backfilling so each batch is full. The final partial
+            # batch obeys drop_remainder like the no-skip path.
+            pending: List[Tuple[np.ndarray, np.ndarray]] = []
+            for pair in pool.map(self._load_or_none, paths):
+                if pair is None:
+                    continue
+                pending.append(pair)
+                if len(pending) == self.batch_size:
+                    yield (np.stack([p[0] for p in pending]),
+                           np.stack([p[1] for p in pending]))
+                    pending = []
+            if pending and not self.drop_remainder:
+                yield (np.stack([p[0] for p in pending]),
+                       np.stack([p[1] for p in pending]))
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Iterate with a background prefetch thread (bounded queue), the
@@ -282,6 +352,15 @@ class ResumableDataset:
                  shuffle: bool = True,
                  seed: int = 0,
                  **dataset_kwargs):
+        if dataset_kwargs.get("on_corrupt", "raise") == "skip":
+            raise ValueError(
+                "on_corrupt='skip' cannot compose with ResumableDataset: "
+                "the resume position is index arithmetic (batch * "
+                "batch_size paths consumed per batch), which skip+"
+                "backfill breaks — a resumed run would replay or lose "
+                "images around each corrupt file. Clean the corrupt "
+                "files out of the dataset instead (the skip warning "
+                "logs each path)")
         self.image_paths = list(image_paths)
         self.annotations = annotations
         self.config = config

@@ -91,10 +91,16 @@ def test_cli_train_eval_visualize_plot(dataset, tmp_path, capsys):
           "--output-dir", str(tmp_path / "viz"),
           "--objectness-threshold", "0.0",
           "--classification-threshold", "0.0",
+          "--contact-sheet", str(tmp_path / "viz" / "sheet.html"),
           *common(dataset, tmp_path)])
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(result["written"]) == 2
     assert all(os.path.exists(p) for p in result["written"])
+    # Interactive contact sheet: every PNG embedded, keyboard handler on
+    # board (the reference cv2 viewer's replacement, vtd.py:2342-2354).
+    sheet = open(result["contact_sheet"]).read()
+    assert sheet.count("<figure>") == 2
+    assert "data:image/png;base64," in sheet and "keydown" in sheet
 
     main(["plot", "--metrics", metrics,
           "--output", str(tmp_path / "curves.html")])

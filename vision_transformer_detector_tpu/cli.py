@@ -419,7 +419,12 @@ def cmd_visualize(args) -> None:
             objectness_threshold=args.objectness_threshold,
             classification_threshold=args.classification_threshold,
             config=config, start_index=i))
-    print(json.dumps({"written": written}))
+    out = {"written": written}
+    if args.contact_sheet:
+        from .utils.visualize import write_contact_sheet
+        out["contact_sheet"] = write_contact_sheet(
+            written, args.contact_sheet)
+    print(json.dumps(out))
 
 
 def _parse_sweep_value(text: str):
@@ -868,6 +873,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="visualizations")
     p.add_argument("--objectness-threshold", type=float, default=0.5)
     p.add_argument("--classification-threshold", type=float, default=0.5)
+    p.add_argument("--contact-sheet", default=None, metavar="PATH",
+                   help="also bundle the PNGs into one self-contained "
+                        "interactive HTML sheet (keyboard stepping, "
+                        "the reference cv2 viewer's q/s controls)")
     p.set_defaults(func=cmd_visualize)
 
     p = sub.add_parser(

@@ -141,6 +141,57 @@ def test_flash_attention_gradients_match_reference():
                                    atol=3e-5, rtol=3e-5)
 
 
+@pytest.mark.parametrize("variant,tol", [("delta", 3e-5),
+                                         ("bf16_delta", 2e-2)])
+def test_chunked_bwd_variants_match_reference(variant, tol):
+    """Bandwidth-shaped chunked backwards (flash-v2 delta trick, bf16
+    score streaming) vs reference autodiff. The delta identity
+    rowsum(p * dp) == rowsum(g * (p @ v)) is exact, so "delta" holds
+    fp32 tolerance; bf16 streaming rounds every probability to 8 bits
+    of mantissa, so its gradients carry ~1e-2 relative error (same
+    class as the bf16 forward, tools/kernel_checks.py)."""
+    rngs = jax.random.split(jax.random.PRNGKey(13), 4)
+    shape = (2, 128, 2, 64)
+    q, k, v, g = (jax.random.normal(r, shape) for r in rngs)
+
+    def loss_variant(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_kv=128,
+                                       use_pallas_backward=False,
+                                       bwd_variant=variant) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) * g)
+
+    grads_variant = jax.grad(loss_variant, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(grads_variant, grads_ref):
+        scale = np.max(np.abs(np.asarray(b)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=tol * scale, rtol=tol)
+
+
+def test_chunked_bwd_delta_matches_with_dropout():
+    """The delta identity must also hold through the dropout-scaled
+    chain (rowsum(p * dpm) == rowsum(pd * (g v^T)))."""
+    rngs = jax.random.split(jax.random.PRNGKey(14), 4)
+    shape = (2, 128, 2, 64)
+    q, k, v, g = (jax.random.normal(r, shape) for r in rngs)
+
+    def loss(variant):
+        def fn(q, k, v):
+            return jnp.sum(flash_attention(
+                q, k, v, block_q=128, block_kv=128,
+                dropout_rate=0.25, dropout_seed=7,
+                bwd_variant=variant) * g)
+        return fn
+
+    grads_delta = jax.grad(loss("delta"), argnums=(0, 1, 2))(q, k, v)
+    grads_fp32 = jax.grad(loss("fp32"), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(grads_delta, grads_fp32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
+
+
 def test_flash_attention_grad_unaligned_seq():
     """Gradient path with KV-padding masking active (N=200)."""
     rngs = jax.random.split(jax.random.PRNGKey(4), 3)

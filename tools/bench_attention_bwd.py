@@ -46,6 +46,11 @@ def main():
     parser.add_argument("--layers", type=int, default=24,
                         help="scale per-call time to a per-step estimate")
     parser.add_argument("--iterations", type=int, default=20)
+    parser.add_argument("--only", default=None,
+                        help="substring filter on variant names (e.g. "
+                             "'chunked' to skip the pallas sweeps)")
+    parser.add_argument("--repeats", type=int, default=1,
+                        help="timed repetitions per variant (variance)")
     args = parser.parse_args()
 
     import jax
@@ -68,6 +73,8 @@ def main():
     print(json.dumps({"tunnel_roundtrip_ms": round(rt, 1)}), flush=True)
 
     def bench(name, fn):
+        if args.only and args.only not in name:
+            return None
         grad_fn = jax.grad(
             lambda q, k, v: (fn(q, k, v).astype(jnp.float32) * cot).sum(),
             argnums=(0, 1, 2))
@@ -85,18 +92,29 @@ def main():
             return acc
 
         _ = np.asarray(chained(q, k, v))        # compile + run
-        tic = time.perf_counter()
-        _ = np.asarray(chained(q, k, v))
-        total_ms = (time.perf_counter() - tic) * 1e3 - rt
-        per = total_ms / args.iterations
+        samples = []
+        for _ in range(args.repeats):
+            tic = time.perf_counter()
+            _ = np.asarray(chained(q, k, v))
+            samples.append(((time.perf_counter() - tic) * 1e3 - rt)
+                           / args.iterations)
+        per = min(samples)
         print(json.dumps({
             "variant": name, "ms": round(per, 3),
+            "samples_ms": [round(s, 3) for s in samples],
             "est_step_contrib_ms": round(per * args.layers, 1)}),
             flush=True)
         return per
 
     bench("chunked", functools.partial(
         flash_attention, use_pallas_backward=False))
+    # Bandwidth-shaped chunked variants (round 4, the VERDICT r3
+    # attention-bandwidth lever): delta trick and bf16 score streaming.
+    bench("chunked delta", functools.partial(
+        flash_attention, use_pallas_backward=False, bwd_variant="delta"))
+    bench("chunked bf16_delta", functools.partial(
+        flash_attention, use_pallas_backward=False,
+        bwd_variant="bf16_delta"))
     # Whole-row schedule: full-N blocks collapse the kv grid axis and the
     # q fori_loop to 1 — per (batch, head) the entire N x N score lives in
     # VMEM and the backward is five unblocked matmuls (viable because this

@@ -301,7 +301,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     use_pallas_backward: bool | None = None,
                     layout: str = "bnhk",
                     dropout_rate: float | None = None,
-                    dropout_seed=None) -> jnp.ndarray:
+                    dropout_seed=None,
+                    bwd_variant: str = "fp32") -> jnp.ndarray:
     """Blockwise attention; in/out layout per ``layout``.
 
     ``layout="bnhk"``: (B, N, H, K) tensors (the historical contract —
@@ -327,6 +328,18 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     (dropout_keep_mask), so the chunked backward — forced when dropout
     is on; the Pallas backward has no dropout schedule — replays it
     exactly during recomputation.
+
+    ``bwd_variant`` selects the chunked backward's bandwidth shape
+    (ignored by the Pallas backward):
+      * ``"fp32"`` (default) — fp32 score/probability intermediates,
+        softmax-gradient rowsum computed as rowsum(dp * p).
+      * ``"delta"`` — flash-v2 delta trick: recompute o = pd @ v and
+        use rowsum(g * o) for the softmax-gradient correction, trading
+        an N x N fp32 elementwise+reduce for an N x K matmul.
+      * ``"bf16_delta"`` — delta trick plus bf16 probability streaming:
+        p/dp round through bf16 after fp32 accumulation, halving the
+        N x N traffic the fusion pipeline moves (the delta rowsum stays
+        fp32 via the N x K path, so no long bf16 reductions).
     """
     if layout not in ("bnhk", "bhnk"):
         raise ValueError(f"unknown layout {layout!r}")
@@ -352,20 +365,22 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             raise ValueError("dropout_rate needs a dropout_seed")
         seed = jnp.asarray(dropout_seed).astype(jnp.uint32).reshape((1,))
         use_pallas_backward = False
+    if bwd_variant not in ("fp32", "delta", "bf16_delta"):
+        raise ValueError(f"unknown bwd_variant {bwd_variant!r}")
     return _flash_attention_vjp(q, k, v, seed, block_q, block_kv,
                                 interpret, bool(use_pallas_backward),
-                                layout, rate)
+                                layout, rate, bwd_variant)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _flash_attention_vjp(q, k, v, seed, block_q, block_kv, interpret,
-                         use_pallas_backward, layout, rate):
+                         use_pallas_backward, layout, rate, bwd_variant):
     return _flash_forward(q, k, v, block_q, block_kv, interpret,
                           layout=layout, rate=rate, seed=seed)
 
 
 def _flash_fwd(q, k, v, seed, block_q, block_kv, interpret,
-               use_pallas_backward, layout, rate):
+               use_pallas_backward, layout, rate, bwd_variant):
     if use_pallas_backward:
         out, lse = _flash_forward(q, k, v, block_q, block_kv, interpret,
                                   with_lse=True, layout=layout)
@@ -376,7 +391,7 @@ def _flash_fwd(q, k, v, seed, block_q, block_kv, interpret,
 
 
 def _flash_bwd(block_q, block_kv, interpret, use_pallas_backward, layout,
-               rate, residuals, g):
+               rate, bwd_variant, residuals, g):
     import numpy as np
 
     q, k, v, seed, out, lse = residuals
@@ -387,7 +402,7 @@ def _flash_bwd(block_q, block_kv, interpret, use_pallas_backward, layout,
                                        layout)
         return dq, dk, dv, seed_ct
     dq, dk, dv = _flash_bwd_chunked((q, k, v), g, layout, rate=rate,
-                                    seed=seed)
+                                    seed=seed, variant=bwd_variant)
     return dq, dk, dv, seed_ct
 
 
@@ -504,7 +519,8 @@ def _chunk_group(bh: int, n: int, score_buffers: int = 3) -> int:
 
 
 def _flash_bwd_chunked(residuals, g, layout: str = "bnhk",
-                       rate: float | None = None, seed=None):
+                       rate: float | None = None, seed=None,
+                       variant: str = "fp32"):
     """Attention backward, recomputed per (batch*head) chunk.
 
     Standard softmax-attention gradients with fp32 softmax statistics:
@@ -512,6 +528,14 @@ def _flash_bwd_chunked(residuals, g, layout: str = "bnhk",
       dv = p^T g                   dq = ds k,  dk = ds^T q
     Memory is bounded by chunking the fused batch*head axis through
     lax.map (_chunk_group heads' N x N score blocks at a time).
+
+    ``variant`` (see flash_attention's ``bwd_variant``): "delta" swaps
+    the rowsum(dp * p) correction for the flash-v2 delta
+    rowsum(g * (pd @ v)) — an N x K matmul instead of an N x N fp32
+    elementwise+reduce; "bf16_delta" additionally streams p/dp through
+    bf16 after their fp32 accumulations, halving the N x N bytes the
+    fusion pipeline moves (safe because the only long reduction, the
+    delta, runs over the K axis in fp32).
 
     With in-kernel dropout (``rate``/``seed``), the forward's mask is
     replayed from the global coordinates (dropout_keep_mask is a pure
@@ -552,27 +576,42 @@ def _flash_bwd_chunked(residuals, g, layout: str = "bnhk",
         inv_keep = 1.0 / (1.0 - rate)
         pos = jnp.arange(n, dtype=jnp.uint32)
 
+    use_delta = variant in ("delta", "bf16_delta")
+    score_dtype = jnp.bfloat16 if variant == "bf16_delta" else jnp.float32
+
     def heads(args):
         qi, ki, vi, gi, bhi = args
         # Input-dtype operands + fp32 accumulation (fast MXU path for
         # bf16; identical numerics to the former bf16->fp32 upcast).
         s = jax.lax.dot_general(qi, ki, batch_last,
                                 preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(s, axis=-1)
+        p = jax.nn.softmax(s, axis=-1).astype(score_dtype)
         dp = jax.lax.dot_general(gi, vi, batch_last,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32
+                                 ).astype(score_dtype)
         if rate is not None:
             keep = dropout_keep_mask(
                 seed[0], bhi[:, None, None], pos[None, :, None],
                 pos[None, None, :], threshold)
-            scale = jnp.where(keep, inv_keep, 0.0)
+            scale = jnp.where(keep, inv_keep, 0.0).astype(score_dtype)
             dp = dp * scale
             pd = p * scale
         else:
             pd = p
         dv = jax.lax.dot_general(pd.astype(gi.dtype), gi, batch_mid,
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        if use_delta:
+            # Flash-v2 delta: rowsum(p * dp) == rowsum(g * (pd @ v)),
+            # including the dropout-scaled case (both sides reduce
+            # pd * (g v^T)). The N x K matmul and fp32 K-axis rowsum
+            # replace an N x N fp32 elementwise+reduce.
+            o = jax.lax.dot_general(pd.astype(vi.dtype), vi, batch_lm,
+                                    preferred_element_type=jnp.float32)
+            delta = jnp.sum(gi.astype(jnp.float32) * o, axis=-1,
+                            keepdims=True)
+            ds = p * (dp - delta.astype(score_dtype))
+        else:
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dsc = ds.astype(qi.dtype)
         dq = jax.lax.dot_general(dsc, ki, batch_lm,
                                  preferred_element_type=jnp.float32)

@@ -36,14 +36,34 @@ void ErrorExit(j_common_ptr cinfo) {
 }
 
 struct Decoded {
-  std::vector<unsigned char> rgb;  // oh * ow * 3
-  int oh = 0;
-  int ow = 0;
+  std::vector<unsigned char> rgb;  // oh * ow * 3 (decoded-buffer dims)
+  int oh = 0;       // decoded buffer height (== full_h unless DCT-scaled)
+  int ow = 0;       // decoded buffer width
+  int full_h = 0;   // pre-scaling image dims from the JPEG header —
+  int full_w = 0;   // letterbox geometry and labels key off these
   bool ok = false;
   std::string error;
 };
 
-Decoded DecodeJpeg(const unsigned char* data, size_t size) {
+// Letterbox resize target for a (full_h, full_w) source into a (th, tw)
+// canvas — double math + ties-to-even, the exact twin of the Python
+// fallback's round() (see DecodeLetterbox below).
+void LetterboxResizeDims(int full_h, int full_w, int th, int tw,
+                         int* rh, int* rw) {
+  const double scale = std::max(static_cast<double>(full_h) / th,
+                                static_cast<double>(full_w) / tw);
+  *rh = std::max(1, static_cast<int>(std::nearbyint(full_h / scale)));
+  *rw = std::max(1, static_cast<int>(std::nearbyint(full_w / scale)));
+}
+
+// letterbox_th/letterbox_tw > 0 enables DCT-domain scaled decode: after
+// the header reveals the full dims, the exact letterbox resize target
+// (rh, rw) is derived and libjpeg decodes at the smallest M/8 (M in
+// 1..8) whose output still covers it — skipping most of the IDCT +
+// color-convert work when the canvas is much smaller than the source.
+// The subsequent bilinear step then only ever downscales.
+Decoded DecodeJpeg(const unsigned char* data, size_t size,
+                   int letterbox_th = 0, int letterbox_tw = 0) {
   Decoded out;
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
@@ -61,6 +81,23 @@ Decoded DecodeJpeg(const unsigned char* data, size_t size) {
   jpeg_mem_src(&cinfo, data, size);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  out.full_h = static_cast<int>(cinfo.image_height);
+  out.full_w = static_cast<int>(cinfo.image_width);
+  if (letterbox_th > 0 && letterbox_tw > 0) {
+    int rh = 0, rw = 0;
+    LetterboxResizeDims(out.full_h, out.full_w, letterbox_th, letterbox_tw,
+                        &rh, &rw);
+    for (int m = 1; m <= 8; ++m) {
+      // libjpeg's scaled output dims are ceil(dim * m / 8).
+      const long sh = (static_cast<long>(out.full_h) * m + 7) / 8;
+      const long sw = (static_cast<long>(out.full_w) * m + 7) / 8;
+      if (sh >= rh && sw >= rw) {
+        cinfo.scale_num = m;
+        cinfo.scale_denom = 8;
+        break;
+      }
+    }
+  }
   jpeg_start_decompress(&cinfo);
 
   out.oh = static_cast<int>(cinfo.output_height);
@@ -159,27 +196,33 @@ void ResizeBilinear(const unsigned char* src, int sh, int sw,
 // the letterbox geometry of data/annotations.py:letterbox_params
 // (vtu.py:305-323 semantics).
 Decoded DecodeLetterbox(const unsigned char* data, size_t size,
-                        int th, int tw) {
-  Decoded decoded = DecodeJpeg(data, size);
+                        int th, int tw, bool scaled) {
+  // With `scaled`, libjpeg stops IDCT at the smallest M/8 covering the
+  // resize target (decided inside DecodeJpeg, right after the header).
+  // The geometry (rh, rw, pad offsets, returned original dims) is
+  // computed from the FULL header dims either way, so labels and box
+  // mapping are bit-identical between the two modes; only the
+  // resampling path differs (DCT box-filter prescale + short bilinear
+  // vs one long bilinear), a bounded pixel-value difference that the
+  // fast mode's callers opt into (tests/test_pipeline.py pins it).
+  Decoded decoded = scaled ? DecodeJpeg(data, size, th, tw)
+                           : DecodeJpeg(data, size);
   if (!decoded.ok) return decoded;
-
-  const int oh = decoded.oh;
-  const int ow = decoded.ow;
   // Double math + ties-to-even (nearbyint under the default rounding
   // mode), matching Python's round() in the PIL fallback — lround's
   // half-away-from-zero placed the resize 1px off at exact .5 sizes,
   // skewing native-vs-PIL hosts against each other.
-  const double scale = std::max(static_cast<double>(oh) / th,
-                                static_cast<double>(ow) / tw);
-  const int rh = std::max(1, static_cast<int>(std::nearbyint(oh / scale)));
-  const int rw = std::max(1, static_cast<int>(std::nearbyint(ow / scale)));
+  int rh = 0, rw = 0;
+  LetterboxResizeDims(decoded.full_h, decoded.full_w, th, tw, &rh, &rw);
+  const int oh = decoded.oh;
+  const int ow = decoded.ow;
 
   std::vector<unsigned char> resized(static_cast<size_t>(rh) * rw * 3);
   ResizeBilinear(decoded.rgb.data(), oh, ow, resized.data(), rh, rw);
 
   Decoded out;
-  out.oh = oh;
-  out.ow = ow;
+  out.oh = decoded.full_h;
+  out.ow = decoded.full_w;
   out.ok = true;
   out.rgb.assign(static_cast<size_t>(th) * tw * 3, 0);
   const int top = (th - rh) / 2;
@@ -197,9 +240,9 @@ Decoded DecodeLetterbox(const unsigned char* data, size_t size,
 // worker thread or a Py_BEGIN_ALLOW_THREADS region calls std::terminate;
 // convert it into the same error-Decoded path as libjpeg failures.
 Decoded DecodeLetterboxSafe(const unsigned char* data, size_t size,
-                            int th, int tw) noexcept {
+                            int th, int tw, bool scaled) noexcept {
   try {
-    return DecodeLetterbox(data, size, th, tw);
+    return DecodeLetterbox(data, size, th, tw, scaled);
   } catch (const std::exception& e) {
     Decoded d;
     d.error = e.what();
@@ -224,12 +267,13 @@ PyObject* MakeResult(const Decoded& d, int th, int tw) {
   return Py_BuildValue("(Nii)", bytes, d.oh, d.ow);
 }
 
-// decode_letterbox(data: bytes, target_h: int, target_w: int)
-//   -> (canvas_bytes, orig_h, orig_w)
+// decode_letterbox(data: bytes, target_h: int, target_w: int,
+//                  scaled: int = 0) -> (canvas_bytes, orig_h, orig_w)
 PyObject* PyDecodeLetterbox(PyObject*, PyObject* args) {
   Py_buffer buffer;
-  int th = 0, tw = 0;
-  if (!PyArg_ParseTuple(args, "y*ii", &buffer, &th, &tw)) return nullptr;
+  int th = 0, tw = 0, scaled = 0;
+  if (!PyArg_ParseTuple(args, "y*ii|p", &buffer, &th, &tw, &scaled))
+    return nullptr;
   if (th <= 0 || tw <= 0) {
     PyBuffer_Release(&buffer);
     PyErr_SetString(PyExc_ValueError, "target size must be positive");
@@ -239,18 +283,19 @@ PyObject* PyDecodeLetterbox(PyObject*, PyObject* args) {
   Py_BEGIN_ALLOW_THREADS
   result = DecodeLetterboxSafe(
       static_cast<const unsigned char*>(buffer.buf),
-      static_cast<size_t>(buffer.len), th, tw);
+      static_cast<size_t>(buffer.len), th, tw, scaled != 0);
   Py_END_ALLOW_THREADS
   PyBuffer_Release(&buffer);
   return MakeResult(result, th, tw);
 }
 
-// decode_letterbox_batch(list[bytes], th, tw, num_threads)
-//   -> list[(canvas_bytes, oh, ow)]
+// decode_letterbox_batch(list[bytes], th, tw, num_threads,
+//                        scaled: int = 0) -> list[(canvas_bytes, oh, ow)]
 PyObject* PyDecodeLetterboxBatch(PyObject*, PyObject* args) {
   PyObject* seq = nullptr;
-  int th = 0, tw = 0, num_threads = 0;
-  if (!PyArg_ParseTuple(args, "Oiii", &seq, &th, &tw, &num_threads))
+  int th = 0, tw = 0, num_threads = 0, scaled = 0;
+  if (!PyArg_ParseTuple(args, "Oiii|p", &seq, &th, &tw, &num_threads,
+                        &scaled))
     return nullptr;
   PyObject* fast = PySequence_Fast(seq, "expected a sequence of bytes");
   if (fast == nullptr) return nullptr;
@@ -287,7 +332,7 @@ PyObject* PyDecodeLetterboxBatch(PyObject*, PyObject* args) {
           if (i >= n) break;
           results[i] = DecodeLetterboxSafe(
               reinterpret_cast<const unsigned char*>(inputs[i].data()),
-              inputs[i].size(), th, tw);
+              inputs[i].size(), th, tw, scaled != 0);
         }
       });
     }
@@ -310,9 +355,11 @@ PyObject* PyDecodeLetterboxBatch(PyObject*, PyObject* args) {
 
 PyMethodDef kMethods[] = {
     {"decode_letterbox", PyDecodeLetterbox, METH_VARARGS,
-     "JPEG bytes -> (letterboxed uint8 HWC canvas bytes, orig_h, orig_w)"},
+     "JPEG bytes -> (letterboxed uint8 HWC canvas bytes, orig_h, orig_w); "
+     "scaled=True enables DCT-domain reduced-scale decode"},
     {"decode_letterbox_batch", PyDecodeLetterboxBatch, METH_VARARGS,
-     "Parallel batch decode: (list[bytes], th, tw, threads) -> list"},
+     "Parallel batch decode: (list[bytes], th, tw, threads, scaled) -> "
+     "list"},
     {nullptr, nullptr, 0, nullptr},
 };
 

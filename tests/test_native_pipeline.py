@@ -136,3 +136,106 @@ def test_cmyk_jpeg_falls_back_to_pil(tmp_path):
     with _pytest.raises(Exception):
         load_and_letterbox_image(str(corrupt), cfg,
                                  use_native=native_available())
+
+
+# ---------------------------------------------------------------------------
+# DCT-domain reduced-scale decode (fast_decode): libjpeg scale_num/8
+# natively, PIL draft() in the fallback. Geometry/labels must be exact;
+# pixel values are allowed a small bounded drift vs the exact path.
+# ---------------------------------------------------------------------------
+
+def _make_big_jpeg(tmp_path, shape=(480, 640), name="000000000777.jpg"):
+    from PIL import Image
+
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([yy * 255 // h, xx * 255 // w,
+                    ((yy + xx) * 255) // (h + w)], axis=-1).astype(np.uint8)
+    path = tmp_path / name
+    Image.fromarray(img).save(path, quality=92)
+    return str(path)
+
+
+def test_fast_decode_noop_when_no_scaling_engages(tmp_path):
+    """Target within 8/8 of the source (608px canvas from a 480x640 file):
+    the scaled path must be BIT-IDENTICAL to the exact path — the training
+    preset sees no pixel change from --fast-decode on COCO-sized files."""
+    path = _make_big_jpeg(tmp_path)
+    cfg = DetectorConfig(image_size=(608, 608))
+    exact, size_e = pipeline.load_and_letterbox_image(
+        path, cfg, normalize=False, use_native=True)
+    fast, size_f = pipeline.load_and_letterbox_image(
+        path, cfg, normalize=False, use_native=True, fast_decode=True)
+    assert size_e == size_f == (480, 640)
+    assert np.array_equal(exact, fast)
+
+
+@pytest.mark.parametrize("target", [96, 224])
+def test_fast_decode_geometry_exact_pixels_close(tmp_path, target):
+    """Small canvas from a large source: scaling engages. The letterbox
+    geometry (nonzero region, returned original dims) keys off the FULL
+    header dims so it matches the exact path exactly; pixel values drift
+    only by the resampling-chain change (measured max 3/255 on smooth
+    content; bound loosely)."""
+    path = _make_big_jpeg(tmp_path)
+    cfg = DetectorConfig(image_size=(target, target))
+    exact, size_e = pipeline.load_and_letterbox_image(
+        path, cfg, normalize=False, use_native=True)
+    fast, size_f = pipeline.load_and_letterbox_image(
+        path, cfg, normalize=False, use_native=True, fast_decode=True)
+    assert size_e == size_f == (480, 640)
+    assert exact.shape == fast.shape
+    # Identical zero-pad geometry.
+    assert np.array_equal(exact.max(axis=(1, 2)) > 0,
+                          fast.max(axis=(1, 2)) > 0)
+    assert np.array_equal(exact.max(axis=(0, 2)) > 0,
+                          fast.max(axis=(0, 2)) > 0)
+    diff = np.abs(exact.astype(int) - fast.astype(int))
+    assert float(diff.mean()) < 2.0
+    assert int(diff.max()) <= 24
+
+
+def test_fast_decode_pil_draft_fallback(tmp_path):
+    """use_native=False rides PIL draft(); same contract as the native
+    fast path: exact geometry/original dims, bounded pixel drift."""
+    path = _make_big_jpeg(tmp_path)
+    cfg = DetectorConfig(image_size=(128, 128))
+    exact, size_e = pipeline.load_and_letterbox_image(
+        path, cfg, normalize=False, use_native=False)
+    fast, size_f = pipeline.load_and_letterbox_image(
+        path, cfg, normalize=False, use_native=False, fast_decode=True)
+    assert size_e == size_f == (480, 640)
+    assert np.array_equal(exact.max(axis=(1, 2)) > 0,
+                          fast.max(axis=(1, 2)) > 0)
+    diff = np.abs(exact.astype(int) - fast.astype(int))
+    assert float(diff.mean()) < 2.0
+    assert int(diff.max()) <= 24
+
+
+def test_fast_decode_dataset_labels_unchanged(tmp_path):
+    """fast_decode must not move labels: they are a pure function of the
+    FULL original dims, which the scaled decode preserves."""
+    path = _make_big_jpeg(tmp_path)
+    annotations = {"777": [[3, 320.0, 240.0, 64.0, 48.0, 3072.0]]}
+    cfg = DetectorConfig(image_size=(96, 96))
+    batches = {}
+    for fast in (False, True):
+        ds = pipeline.CocoDetectionDataset(
+            [path], annotations, cfg, batch_size=1, fast_decode=fast)
+        images, labels = next(iter(ds))
+        batches[fast] = (images, labels)
+    assert np.array_equal(batches[False][1], batches[True][1])
+    assert np.abs(batches[False][0] - batches[True][0]).max() < 0.2
+
+
+def test_fast_decode_batch_api(tmp_path):
+    """The batch entry point honors the scaled flag (positional arg 5)."""
+    path = _make_big_jpeg(tmp_path)
+    blob = open(path, "rb").read()
+    exact = native.decode_letterbox_batch([blob], 96, 96, 1)
+    fast = native.decode_letterbox_batch([blob], 96, 96, 1, True)
+    (cb_e, oh_e, ow_e), (cb_f, oh_f, ow_f) = exact[0], fast[0]
+    assert (oh_e, ow_e) == (oh_f, ow_f) == (480, 640)
+    a = np.frombuffer(cb_e, np.uint8).astype(int)
+    b = np.frombuffer(cb_f, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 24

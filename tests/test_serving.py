@@ -606,3 +606,36 @@ def test_body_size_limit_and_inflight_cap(service):
         assert stats["requests"]["bad_request"] == 1
     finally:
         server.stop()
+
+
+def test_letterbox_jpeg_delegates_to_shared_core(service):
+    """serving ingest and the training pipeline must produce the SAME
+    canvas for the same bytes (serving.letterbox_jpeg delegates to
+    data/pipeline.py:letterbox_image_bytes), and fast_decode must keep
+    geometry/original dims exact."""
+    from PIL import Image
+
+    from vision_transformer_detector_tpu.data.pipeline import (
+        letterbox_image_bytes)
+
+    h, w = 480, 640
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([yy * 255 // h, xx * 255 // w,
+                    ((yy + xx) * 255) // (h + w)], -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=92)
+    data = buf.getvalue()
+
+    canvas, original = service.letterbox_jpeg(data)
+    ref_canvas, ref_original = letterbox_image_bytes(data, CFG.image_size)
+    assert original == ref_original == (480, 640)
+    assert np.array_equal(canvas, ref_canvas)
+
+    service.fast_decode = True
+    try:
+        fast_canvas, fast_original = service.letterbox_jpeg(data)
+    finally:
+        service.fast_decode = False
+    assert fast_original == (480, 640)
+    assert fast_canvas.shape == canvas.shape
+    assert np.abs(fast_canvas.astype(int) - canvas.astype(int)).max() <= 24

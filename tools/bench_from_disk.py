@@ -43,13 +43,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT_ANNOTATIONS = "/root/reference/val_annotations_dict.json"
 
 
+FAST_DECODE = False  # set by --fast-decode: DCT-domain reduced-scale JPEG
+
+
 def _dataset(paths, annotations, config, batch_size, num_workers):
     from vision_transformer_detector_tpu.data.pipeline import (
         CocoDetectionDataset)
     return CocoDetectionDataset(
         paths, annotations, config, batch_size=batch_size,
         drop_remainder=True, num_workers=num_workers, prefetch=4,
-        normalize=False)  # uint8 ships 4x less host->device traffic
+        normalize=False,  # uint8 ships 4x less host->device traffic
+        fast_decode=FAST_DECODE)
 
 
 def _host_roofline(paths, annotations, config, batch_size, num_workers):
@@ -300,7 +304,13 @@ def main() -> None:
                         choices=("all", "train608", "infer640", "serve224"))
     parser.add_argument("--workers", type=int,
                         default=max(2, (os.cpu_count() or 1)))
+    parser.add_argument("--fast-decode", action="store_true",
+                        help="DCT-domain reduced-scale JPEG decode "
+                             "(cli --fast-decode twin); engages when the "
+                             "canvas is much smaller than the sources")
     args = parser.parse_args()
+    global FAST_DECODE
+    FAST_DECODE = args.fast_decode
 
     from vision_transformer_detector_tpu.data.annotations import (
         load_annotations_dict)
@@ -334,6 +344,7 @@ def main() -> None:
         "host_cores": os.cpu_count(),
         "corpus": args.corpus,
         "images_per_scenario": args.images,
+        "fast_decode": args.fast_decode,
     }))
 
 

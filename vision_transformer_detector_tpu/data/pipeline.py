@@ -110,7 +110,8 @@ def image_id_from_path(path: str) -> str:
 
 def load_and_letterbox_image(path: str, config: DetectorConfig,
                              normalize: bool = True,
-                             use_native: Optional[bool] = None
+                             use_native: Optional[bool] = None,
+                             fast_decode: bool = False
                              ) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Decode + aspect-preserving resize + center pad (vtu.py:418-449).
 
@@ -118,58 +119,102 @@ def load_and_letterbox_image(path: str, config: DetectorConfig,
     the original (height, width) needed for the label transform. JPEGs go
     through the native C++ core when built (native/pipeline.cc); everything
     else (and fallback) uses PIL.
+
+    ``fast_decode`` enables DCT-domain reduced-scale JPEG decode (libjpeg
+    ``scale_num/8`` natively; PIL ``draft()`` in the fallback): the file is
+    decoded at the smallest scale that still covers the letterbox resize
+    target, skipping most of the IDCT when the canvas is much smaller than
+    the source. Letterbox geometry and the returned original dims are
+    computed from the FULL header dims, so labels/boxes are unaffected;
+    pixel values differ slightly from the exact path (measured max ±3/255
+    per channel, tests/test_pipeline.py) because the resampling chain
+    changes. It is a no-op (bit-identical) when the target is within 8/8
+    of the source, e.g. 608px training on COCO-sized (<=640px) images;
+    the win is small-canvas serving/eval (measured ~2x decode at 224px,
+    ~3x at 384px from 640x480 sources — PERFORMANCE.md).
     """
-    if use_native is None:
-        # The native core's edge is GIL-free scaling across host cores
-        # (measured: PIL's SIMD resize wins narrowly on one core,
-        # tools/bench_pipeline.py); prefer it only on multi-core hosts.
-        use_native = (_native_pipeline is not None
-                      and (os.cpu_count() or 1) >= 2)
-    if use_native and _native_pipeline is not None and \
-            path.lower().endswith((".jpg", ".jpeg")):
-        mh, mw = config.image_size
+    try:
         with open(path, "rb") as f:
             data = f.read()
-        try:
-            canvas_bytes, oh, ow = _native_pipeline.decode_letterbox(
-                data, mh, mw)
-        except ValueError:
-            # libjpeg cannot color-convert every JPEG flavour PIL can
-            # (CMYK/Adobe-YCCK scans exist in real COCO); fall through
-            # to the PIL path below rather than killing the run on one
-            # exotic file. Truly corrupt files raise there too.
-            pass
-        else:
-            canvas = np.frombuffer(canvas_bytes, np.uint8).reshape(
-                mh, mw, 3)
-            if not normalize:
-                return canvas, (oh, ow)
-            return normalize_image(canvas), (oh, ow)
-
-    from PIL import Image
-
-    try:
-        with Image.open(path) as pil:
-            pil = pil.convert("RGB")
-            ow, oh = pil.size
-            mh, mw = config.image_size
-            scale = max(oh / mh, ow / mw)
-            rh, rw = max(1, round(oh / scale)), max(1, round(ow / scale))
-            pil = pil.resize((rw, rh), Image.BILINEAR)
-            resized = np.asarray(pil, np.uint8)
+        canvas, original_size = letterbox_image_bytes(
+            data, config.image_size, fast_decode=fast_decode,
+            use_native=use_native,
+            is_jpeg=path.lower().endswith((".jpg", ".jpeg")))
+    except FileNotFoundError:
+        # A missing file is a dataset-listing bug, not a corrupt image;
+        # keep the raw error (the skip policy must not paper over it).
+        raise
     except (OSError, ValueError, SyntaxError) as exc:
         # PIL raises UnidentifiedImageError (an OSError) on zero-byte /
         # non-image files and "image file is truncated" OSErrors mid-
         # decode; normalize them all to the typed policy error.
         raise CorruptImageError(path, exc) from exc
+    if not normalize:
+        return canvas, original_size
+    return normalize_image(canvas), original_size
+
+
+def letterbox_image_bytes(data: bytes, image_size: Tuple[int, int],
+                          fast_decode: bool = False,
+                          use_native: Optional[bool] = None,
+                          is_jpeg: bool = True
+                          ) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Encoded image bytes -> (uint8 letterbox canvas, (orig_h, orig_w)).
+
+    The bytes-level core shared by the file pipeline above and the
+    serving ingest path (serving.py:letterbox_jpeg). Raises OSError /
+    ValueError on undecodable bytes — callers own the policy (the file
+    pipeline wraps into CorruptImageError; serving returns HTTP 400).
+    """
+    mh, mw = image_size
+    if use_native is None:
+        # Native whenever built: it wins at every measured geometry even
+        # single-threaded (round-4 re-measure on the real-size corpus —
+        # 224px 448 vs 254 img/s, 608px 272 vs 165, 640px synthetic 193
+        # vs 175; PERFORMANCE.md), and it is fully GIL-free so the edge
+        # widens with worker threads. (An earlier round measured PIL
+        # narrowly ahead on one core; the native resize's row-cache
+        # rewrite flipped that.)
+        use_native = _native_pipeline is not None
+    if use_native and _native_pipeline is not None and is_jpeg:
+        try:
+            canvas_bytes, oh, ow = _native_pipeline.decode_letterbox(
+                data, mh, mw, fast_decode)
+        except ValueError:
+            # libjpeg cannot color-convert every JPEG flavour PIL can
+            # (CMYK/Adobe-YCCK scans exist in real COCO); fall through
+            # to the PIL path below rather than killing the run on one
+            # exotic file. Truly corrupt bytes raise there too.
+            pass
+        else:
+            canvas = np.frombuffer(canvas_bytes, np.uint8).reshape(
+                mh, mw, 3)
+            return canvas, (oh, ow)
+
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as pil:
+        # Full dims BEFORE any draft-mode scaling: letterbox geometry
+        # and the returned original size key off the true image size.
+        ow, oh = pil.size
+        scale = max(oh / mh, ow / mw)
+        rh, rw = max(1, round(oh / scale)), max(1, round(ow / scale))
+        if fast_decode:
+            # PIL's twin of the native DCT-scaled decode: configures
+            # the JPEG reader to the nearest power-of-2 scale whose
+            # output still covers (rw, rh). No-op for non-JPEG files.
+            pil.draft("RGB", (rw, rh))
+        pil = pil.convert("RGB")
+        pil = pil.resize((rw, rh), Image.BILINEAR)
+        resized = np.asarray(pil, np.uint8)
 
     top = (mh - rh) // 2
     left = (mw - rw) // 2
     canvas = np.zeros((mh, mw, 3), np.uint8)
     canvas[top:top + rh, left:left + rw] = resized
-    if not normalize:
-        return canvas, (oh, ow)
-    return normalize_image(canvas), (oh, ow)
+    return canvas, (oh, ow)
 
 
 def normalize_image(image_uint8: np.ndarray) -> np.ndarray:
@@ -196,7 +241,8 @@ class CocoDetectionDataset:
                  num_workers: int = 2,
                  prefetch: int = 2,
                  normalize: bool = True,
-                 on_corrupt: str = "raise"):
+                 on_corrupt: str = "raise",
+                 fast_decode: bool = False):
         if on_corrupt not in ("raise", "skip"):
             raise ValueError(
                 f"on_corrupt must be 'raise' or 'skip', got {on_corrupt!r}")
@@ -217,6 +263,10 @@ class CocoDetectionDataset:
         # train collectives — prefer cleaning the dataset or 'raise'
         # for multi-process training.
         self.on_corrupt = on_corrupt
+        # DCT-domain reduced-scale JPEG decode (see
+        # load_and_letterbox_image): geometry-exact, pixel-approximate,
+        # ~2-3x host decode for canvases much smaller than the sources.
+        self.fast_decode = fast_decode
         self.skipped_paths: List[str] = []
 
     def __len__(self) -> int:
@@ -230,7 +280,8 @@ class CocoDetectionDataset:
     # ------------------------------------------------------------------
     def _load_one(self, path: str) -> Tuple[np.ndarray, np.ndarray]:
         image, original_size = load_and_letterbox_image(
-            path, self.config, normalize=self.normalize)
+            path, self.config, normalize=self.normalize,
+            fast_decode=self.fast_decode)
         image_annotations = self.annotations.get(image_id_from_path(path))
         labels = labels_from_annotations(
             image_annotations, original_size, self.config)

@@ -83,6 +83,16 @@ Decoded DecodeJpeg(const unsigned char* data, size_t size,
   cinfo.out_color_space = JCS_RGB;
   out.full_h = static_cast<int>(cinfo.image_height);
   out.full_w = static_cast<int>(cinfo.image_width);
+  // Sanity-cap the FULL header dims before anything else: the scaled
+  // path shrinks the decode buffer up to 64x, which would otherwise
+  // let a crafted 65500x65500 header (rejected in exact mode) through
+  // to a ~200 MB allocation + full-image Huffman pass per call.
+  if (static_cast<size_t>(out.full_h) * out.full_w > (1u << 27)) {
+    out.error = "image dimensions too large (" + std::to_string(out.full_w)
+        + "x" + std::to_string(out.full_h) + ")";
+    jpeg_destroy_decompress(&cinfo);
+    return out;
+  }
   if (letterbox_th > 0 && letterbox_tw > 0) {
     int rh = 0, rw = 0;
     LetterboxResizeDims(out.full_h, out.full_w, letterbox_th, letterbox_tw,
@@ -204,7 +214,7 @@ Decoded DecodeLetterbox(const unsigned char* data, size_t size,
   // mapping are bit-identical between the two modes; only the
   // resampling path differs (DCT box-filter prescale + short bilinear
   // vs one long bilinear), a bounded pixel-value difference that the
-  // fast mode's callers opt into (tests/test_pipeline.py pins it).
+  // fast mode's callers opt into (tests/test_native_pipeline.py pins it).
   Decoded decoded = scaled ? DecodeJpeg(data, size, th, tw)
                            : DecodeJpeg(data, size);
   if (!decoded.ok) return decoded;

@@ -239,3 +239,29 @@ def test_fast_decode_batch_api(tmp_path):
     a = np.frombuffer(cb_e, np.uint8).astype(int)
     b = np.frombuffer(cb_f, np.uint8).astype(int)
     assert np.abs(a - b).max() <= 24
+
+
+def test_fast_decode_rejects_huge_header_bomb():
+    """The decoded-size sanity cap must key off the FULL header dims in
+    scaled mode too: a crafted 65500x65500 header would otherwise slip
+    under the cap at scale 1/8 (8188x8188 ~ 201 MB RGB per call) and
+    turn `serve --fast-decode` into a decode-bomb DoS."""
+    import io
+
+    from PIL import Image
+
+    # A real tiny JPEG with its SOF0 dims patched to 65500x65500: the
+    # header parses fine (unlike a truncated synthetic one, which would
+    # fail before the cap is consulted), so the rejection below is the
+    # cap itself — pinned by matching its message.
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(buf, "JPEG")
+    data = bytearray(buf.getvalue())
+    i = data.find(b"\xff\xc0")
+    assert i > 0, "no SOF0 marker in the fixture JPEG"
+    data[i + 5:i + 7] = (65500).to_bytes(2, "big")   # height
+    data[i + 7:i + 9] = (65500).to_bytes(2, "big")   # width
+    bomb = bytes(data)
+    for scaled in (False, True):
+        with pytest.raises(ValueError, match="dimensions too large"):
+            native.decode_letterbox(bomb, 224, 224, scaled)

@@ -301,7 +301,8 @@ def cmd_evaluate(args) -> None:
             objectness_threshold=args.objectness_threshold,
             images_range=(start, end if end >= 0 else None),
             dump_detections=dump,
-            per_category=args.per_category)
+            per_category=args.per_category,
+            fast_decode=getattr(args, "fast_decode", False))
         out = {"protocol": "coco-original", **summary}
         if dump:
             out["dumped_detections"] = dump
@@ -380,7 +381,10 @@ def cmd_predict(args) -> None:
     for i in range(0, len(paths), args.batch_size):
         chunk = paths[i:i + args.batch_size]
         images = np.stack([
-            load_and_letterbox_image(p, config)[0] for p in chunk])
+            load_and_letterbox_image(
+                p, config,
+                fast_decode=getattr(args, "fast_decode", False))[0]
+            for p in chunk])
         decoded = np.asarray(eval_step(state["params"], images))
         for path, dets in zip(chunk, decoded):
             outputs.append({"image": path, "detections": dets.tolist()})
@@ -414,7 +418,10 @@ def cmd_visualize(args) -> None:
     for i in range(0, len(paths), args.batch_size):
         chunk = paths[i:i + args.batch_size]
         images = np.stack([
-            load_and_letterbox_image(p, config)[0] for p in chunk])
+            load_and_letterbox_image(
+                p, config,
+                fast_decode=getattr(args, "fast_decode", False))[0]
+            for p in chunk])
         raw = np.asarray(predict_step(state["params"], images))
         written.extend(visualize_predictions(
             images, raw, args.output_dir,
@@ -790,8 +797,9 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--fast-decode", action="store_true",
                        help="DCT-domain reduced-scale JPEG decode "
                             "(libjpeg scale_num/8, PIL draft() in the "
-                            "fallback): ~2-3x host decode when the "
-                            "canvas is much smaller than the sources. "
+                            "fallback): ~1.3-1.6x host decode when the "
+                            "canvas is much smaller than the sources "
+                            "(224px canvas; PERFORMANCE.md round 4b). "
                             "Letterbox geometry/labels are unaffected; "
                             "pixel values differ by <=3/255 vs the "
                             "exact path (no-op when no scaling "

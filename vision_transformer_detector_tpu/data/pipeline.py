@@ -127,11 +127,13 @@ def load_and_letterbox_image(path: str, config: DetectorConfig,
     the source. Letterbox geometry and the returned original dims are
     computed from the FULL header dims, so labels/boxes are unaffected;
     pixel values differ slightly from the exact path (measured max ±3/255
-    per channel, tests/test_pipeline.py) because the resampling chain
-    changes. It is a no-op (bit-identical) when the target is within 8/8
-    of the source, e.g. 608px training on COCO-sized (<=640px) images;
-    the win is small-canvas serving/eval (measured ~2x decode at 224px,
-    ~3x at 384px from 640x480 sources — PERFORMANCE.md).
+    per channel, tests/test_native_pipeline.py) because the resampling
+    chain changes. It is a no-op (bit-identical) when the target is
+    within 8/8 of the source, e.g. 608px training on COCO-sized
+    (<=640px) images; the win is small-canvas serving/eval (measured on
+    the real-size corpus at a 224px canvas: 1.31x native, 1.55x PIL;
+    fading to ~1.05x at 384px where Huffman decode dominates —
+    PERFORMANCE.md round 4b).
     """
     try:
         with open(path, "rb") as f:

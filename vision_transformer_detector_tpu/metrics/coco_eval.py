@@ -508,7 +508,8 @@ def evaluate_coco_protocol_original_frame(
         class_confidence_threshold: float = 0.0,
         images_range=None,
         dump_detections: Optional[str] = None,
-        per_category: bool = False) -> Dict[str, float]:
+        per_category: bool = False,
+        fast_decode: bool = False) -> Dict[str, float]:
     """Official protocol in ORIGINAL image coordinates.
 
     ``dump_detections`` additionally writes every detection (pre-eval,
@@ -561,8 +562,8 @@ def evaluate_coco_protocol_original_frame(
     mh, mw = config.image_size
     for start in range(0, len(paths), batch_size):
         chunk = paths[start:start + batch_size]
-        canvases, sizes = zip(*(load_and_letterbox_image(p, config)
-                                for p in chunk))
+        canvases, sizes = zip(*(load_and_letterbox_image(
+            p, config, fast_decode=fast_decode) for p in chunk))
         decoded = np.asarray(eval_step(
             params, jnp.asarray(np.stack(canvases))))
         for i, path in enumerate(chunk):

@@ -71,6 +71,20 @@ def _roundtrip_s() -> float:
     return roundtrip_ms() / 1e3
 
 
+def _require_positive(corrected: float, elapsed: float, rt: float,
+                      what: str) -> None:
+    """Timing guard shared by the three device-timing recipes below (they
+    grow their runs differently — donated-state loop, rebuilt scan chain,
+    fixed-iter put — but all subtract the same roundtrip floor). A raise,
+    not an assert: python -O must not silently disable the check."""
+    if corrected <= 0:
+        raise RuntimeError(
+            f"{what}: corrected elapsed {corrected * 1e3:.2f} ms <= 0 "
+            f"(run {elapsed * 1e3:.2f} ms vs roundtrip floor "
+            f"{rt * 1e3:.2f} ms) — tunnel jitter exceeded the run; "
+            "rerun or lengthen the chain")
+
+
 def _device_only_train(step, state, images, labels, iters=40):
     """Steady-state train-step throughput on one pre-staged batch.
 
@@ -98,7 +112,7 @@ def _device_only_train(step, state, images, labels, iters=40):
             break
         iters *= 4
     corrected = elapsed - rt
-    assert corrected > 0, (elapsed, rt)
+    _require_positive(corrected, elapsed, rt, "_device_only_train")
     return iters * images.shape[0] / corrected, state
 
 
@@ -121,7 +135,8 @@ def _put_throughput(images_host, iters=8):
         dev = jax.device_put(images_host)
         _ = float(np.asarray(dev[0, 0, 0, 0]))
     elapsed = time.perf_counter() - tic - iters * rt
-    assert elapsed > 0, (elapsed, rt)
+    _require_positive(elapsed, elapsed + iters * rt, iters * rt,
+                      "_put_throughput")
     img_s = iters * images_host.shape[0] / elapsed
     mb_s = iters * images_host.nbytes / 1e6 / elapsed
     return img_s, mb_s
@@ -162,7 +177,7 @@ def _device_only_infer(predict_fn, params, images, steps=20):
         chain = build_chain(steps)
         _ = np.asarray(chain(params, images))
     corrected = elapsed - rt
-    assert corrected > 0, (elapsed, rt)
+    _require_positive(corrected, elapsed, rt, "_device_only_infer")
     return steps * images.shape[0] / corrected
 
 

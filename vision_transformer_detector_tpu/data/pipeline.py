@@ -41,6 +41,14 @@ def native_available() -> bool:
     return _native_pipeline is not None
 
 
+def _pil_bomb_error():
+    """PIL's DecompressionBombError class (lazy — PIL imports lazily
+    everywhere in this module so non-PIL hosts can still import it)."""
+    from PIL import Image
+
+    return Image.DecompressionBombError
+
+
 class CorruptImageError(ValueError):
     """A file that exists but cannot be decoded as an image (zero-byte,
     truncated past PIL's tolerance, or a non-image with an image
@@ -146,6 +154,12 @@ def load_and_letterbox_image(path: str, config: DetectorConfig,
         # A missing file is a dataset-listing bug, not a corrupt image;
         # keep the raw error (the skip policy must not paper over it).
         raise
+    except _pil_bomb_error() as exc:
+        # PIL's DecompressionBombError subclasses Exception directly
+        # (not OSError/ValueError), so without this clause an oversized
+        # header would crash --on-corrupt skip — the one policy meant
+        # to survive exactly such files.
+        raise CorruptImageError(path, exc) from exc
     except (OSError, ValueError, SyntaxError) as exc:
         # PIL raises UnidentifiedImageError (an OSError) on zero-byte /
         # non-image files and "image file is truncated" OSErrors mid-
@@ -201,6 +215,14 @@ def letterbox_image_bytes(data: bytes, image_size: Tuple[int, int],
         # Full dims BEFORE any draft-mode scaling: letterbox geometry
         # and the returned original size key off the true image size.
         ow, oh = pil.size
+        # Uniform decode-bomb cap, the PIL twin of native/pipeline.cc's
+        # header check (2^27 px ~ 134M). Without it the native
+        # rejection is moot — its ValueError lands in the CMYK
+        # fall-through above and PIL (whose own bomb threshold is a
+        # higher 179M px) would decode the ~400 MB image anyway.
+        if oh * ow > (1 << 27):
+            raise ValueError(
+                f"image dimensions too large ({ow}x{oh})")
         scale = max(oh / mh, ow / mw)
         rh, rw = max(1, round(oh / scale)), max(1, round(ow / scale))
         if fast_decode:
@@ -294,9 +316,14 @@ class CocoDetectionDataset:
         try:
             return self._load_one(path)
         except CorruptImageError as exc:
-            self.skipped_paths.append(path)
+            # Dedup across epochs: Trainer.fit re-iterates the dataset
+            # every epoch, so the same corrupt file skips again each
+            # time — the report (and the "(%d so far)" counter) should
+            # list each UNIQUE bad file once, not once per epoch.
+            if path not in self.skipped_paths:
+                self.skipped_paths.append(path)
             logging.getLogger(__name__).warning(
-                "skipping corrupt image (%d so far): %s",
+                "skipping corrupt image (%d unique so far): %s",
                 len(self.skipped_paths), exc)
             return None
 
@@ -315,8 +342,26 @@ class CocoDetectionDataset:
             # 'skip': stream decode results in order, dropping failures
             # and backfilling so each batch is full. The final partial
             # batch obeys drop_remainder like the no-skip path.
+            #
+            # Futures are submitted through a BOUNDED sliding window, not
+            # one pool.map over the whole path list: Executor.map creates
+            # every future eagerly, so decoded images would buffer ahead
+            # of the consumer without backpressure (a 608px corpus fills
+            # host RAM in seconds when the train step is the slow side),
+            # and abandoning the iterator would block in the executor's
+            # __exit__ until the ENTIRE corpus had been decoded.
+            from collections import deque
+
+            window = max(self.batch_size * 2, self.num_workers * 4)
+            inflight: "deque" = deque()
+            next_idx = 0
             pending: List[Tuple[np.ndarray, np.ndarray]] = []
-            for pair in pool.map(self._load_or_none, paths):
+            while inflight or next_idx < len(paths):
+                while len(inflight) < window and next_idx < len(paths):
+                    inflight.append(
+                        pool.submit(self._load_or_none, paths[next_idx]))
+                    next_idx += 1
+                pair = inflight.popleft().result()
                 if pair is None:
                     continue
                 pending.append(pair)

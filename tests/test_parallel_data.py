@@ -164,3 +164,50 @@ def test_process_shard_spec_single_process():
     import pytest
     with pytest.raises(ValueError, match="not divisible"):
         process_shard_spec(mesh, 5)
+
+
+def test_synced_eval_batches_zero_row_batch_is_not_exhaustion():
+    """A yielded zero-row batch mid-stream must be skipped, not treated
+    as end-of-data (round-4 review: it terminated the rounds early and
+    the eval silently scored a truncated dataset)."""
+    from vision_transformer_detector_tpu.parallel.data import (
+        synced_global_eval_batches)
+
+    mesh = create_mesh(data=4, model=2)
+    stream = [
+        (np.ones((4, 8, 8, 3), np.float32), np.ones((4, 3, 6), np.float32)),
+        (np.ones((0, 8, 8, 3), np.float32), np.ones((0, 3, 6), np.float32)),
+        (np.ones((3, 8, 8, 3), np.float32), np.ones((3, 3, 6), np.float32)),
+    ]
+    rounds = list(synced_global_eval_batches(mesh, stream))
+    assert len(rounds) == 2, "the batches AROUND the empty one both score"
+    _, _, valid = rounds[1]
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  [True, True, True, False])
+
+
+def test_process_shard_spec_rejects_unaligned_rows(monkeypatch):
+    """Unaligned/unequal per-process rows cannot be expressed as a
+    strided image_paths[i::n] shard; the old floor division handed a
+    process with rows [4,16) of 16 the ENTIRE dataset (shard 0 of 1)
+    while its peer loaded a quarter — now it refuses loudly."""
+    import pytest
+
+    from vision_transformer_detector_tpu.parallel import data as pdata
+
+    mesh = create_mesh(data=4, model=2)
+    monkeypatch.setattr(pdata, "process_batch_indices",
+                        lambda m, g: range(4, 16))
+    with pytest.raises(NotImplementedError, match="aligned"):
+        pdata.process_shard_spec(mesh, 16)
+
+
+def test_create_mesh_validates_sizes():
+    """Mesh-shape validation must survive `python -O` (these were
+    asserts) and fail with a clear message, not a numpy reshape error."""
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        create_mesh(model=3)          # 8 virtual devices
+    with pytest.raises(ValueError, match="available devices"):
+        create_mesh(data=3, model=2)

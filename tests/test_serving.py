@@ -639,3 +639,91 @@ def test_letterbox_jpeg_delegates_to_shared_core(service):
     assert fast_original == (480, 640)
     assert fast_canvas.shape == canvas.shape
     assert np.abs(fast_canvas.astype(int) - canvas.astype(int)).max() <= 24
+
+
+def test_server_fault_returns_500_not_400(service):
+    """Device/runtime faults are 5xx; only undecodable payloads are 400
+    (round-4 review: a tunnel flap used to 400 every request, so clients
+    never retried and /stats blamed the outage on bad client traffic)."""
+    from PIL import Image
+
+    class _Broken:
+        def __getattr__(self, name):
+            return getattr(service, name)
+
+        def detect_jpeg(self, data):
+            raise RuntimeError("device unavailable")
+
+    server = DetectionServer(_Broken(), port=0, warmup=False)
+    server.start()
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+            buf, format="JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/predict", data=buf.getvalue())
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert json.loads(e.read())["error"] == "device unavailable"
+        stats = server.stats()["requests"]
+        assert stats["server_error"] == 1
+        assert stats["bad_request"] == 0
+    finally:
+        server.stop()
+
+
+def test_direct_mode_warmup_compiles_batch_one(service):
+    """warmup=True must warm the DIRECT (default) path too: it was
+    accepted and silently ignored unless batching was on, so the first
+    live request paid the full jit compile."""
+    calls = []
+
+    class _Spy:
+        def __getattr__(self, name):
+            return getattr(service, name)
+
+        def predict_raw(self, images):
+            calls.append((images.shape, images.dtype))
+            return service.predict_raw(images)
+
+    server = DetectionServer(_Spy(), port=0, warmup=True)
+    try:
+        assert calls == [((1, 64, 64, 3), np.dtype(np.uint8))]
+    finally:
+        server.stop()
+
+
+def test_exported_service_sends_uint8_to_artifact(tmp_path):
+    """The exported-artifact service must NOT normalize uint8 on the
+    host: ExportedDetector converts on device (export.py __call__), and
+    the old numpy float32 conversion quadrupled the host->device bytes
+    on the exact link serving identifies as its bottleneck."""
+    from vision_transformer_detector_tpu.export import save_exported
+    from vision_transformer_detector_tpu.models.vit_detector import (
+        init_params)
+    from vision_transformer_detector_tpu.serving import (
+        ExportedDetectionService)
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    artifact = str(tmp_path / "artifact")
+    save_exported(artifact, params, CFG, batch_size=1)
+    exported = ExportedDetectionService(artifact, score_threshold=-1.0)
+
+    inner = exported._exported
+    seen = []
+
+    class _Recorder:
+        def __call__(self, images):
+            seen.append(np.asarray(images).dtype)
+            return inner(images)
+
+        def __getattr__(self, name):
+            return getattr(inner, name)
+
+    exported._exported = _Recorder()
+    results = exported.detect_array(np.zeros((1, 64, 64, 3), np.uint8))
+    assert seen == [np.dtype(np.uint8)]
+    assert len(results) == 1

@@ -101,6 +101,19 @@ def process_shard_spec(mesh, global_batch_size: int
             "step itself) requires divisibility")
     rows = process_batch_indices(mesh, global_batch_size)
     local = len(rows)
+    # The strided image_paths[shard_index::num_shards] layout only
+    # expresses equal-sized, aligned shards. Unequal per-process row
+    # counts (processes holding different numbers of data-axis shards)
+    # would floor-divide into overlapping/garbage assignments here —
+    # e.g. a process with rows [4,16) of 16 would get shard 0 of 1 and
+    # load the ENTIRE dataset while its peer loads a quarter.
+    if global_batch_size % local != 0 or rows.start % local != 0:
+        raise NotImplementedError(
+            f"this process holds rows [{rows.start}, {rows.stop}) of the "
+            f"{global_batch_size}-row global batch — not an aligned "
+            "equal-size shard; strided path sharding cannot express "
+            "this layout, feed per-shard with "
+            "jax.make_array_from_single_device_arrays")
     return rows.start // local, global_batch_size // local, local
 
 
@@ -181,33 +194,41 @@ def synced_global_eval_batches(mesh, local_iterator: Iterable
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            # One vector per round: this process's count AND its batch
-            # layout (dtype + trailing dims for images and labels). A
-            # process whose shard is exhausted (or empty from round 1)
-            # pads with the layout of a process that still has data —
+            # One vector per round: this process's count, whether its
+            # iterator is truly EXHAUSTED (a yielded zero-row batch is
+            # not — conflating the two used to end the whole eval early
+            # and score a truncated dataset), and its batch layout
+            # (dtype + trailing dims for images and labels). A process
+            # whose shard is exhausted (or empty from round 1) pads with
+            # the layout of a process that still has data —
             # config-derived float32 defaults would dtype/shape-mismatch
             # a uint8 or off-config stream and desync the assembly, the
             # exact failure mode these rounds exist to prevent.
-            row = [n] + ([v for part in template for v in part]
-                         if template is not None else [])
+            row = [n, int(exhausted)] + (
+                [v for part in template for v in part]
+                if template is not None else [])
             width = 16  # generous fixed width for the layout encoding
             row = (row + [-1] * width)[:width]
             table = np.asarray(multihost_utils.process_allgather(
                 np.asarray(row, np.int32)))
             table = np.atleast_2d(table)
             round_n = int(table[:, 0].max())
+            if bool(table[:, 1].all()):
+                return          # every process's iterator is done
             if round_n == 0:
-                return
+                continue        # an all-empty round, but streams remain
             if template is None:
                 donor = table[int(table[:, 0].argmax())]
-                vals = [int(v) for v in donor[1:] if v != -1]
+                vals = [int(v) for v in donor[2:] if v != -1]
                 img_len = len(vals) - 3  # labels carry dtype + 2 dims
                 template = ((vals[0],) + tuple(vals[1:img_len]),
                             tuple(vals[img_len:]))
         else:
+            if exhausted:
+                return
             round_n = n
             if round_n == 0:
-                return
+                continue        # zero-row batch mid-stream: skip, don't end
         round_n = -(-round_n // local_data) * local_data
         if batch is None:
             (img_dt, *img_tail), (lab_dt, *lab_tail) = template

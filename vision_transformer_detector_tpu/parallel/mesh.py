@@ -30,24 +30,42 @@ def create_mesh(data: Optional[int] = None, model: int = 1,
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+    # Real raises, not asserts — `python -O` strips asserts, leaving only
+    # a cryptic numpy reshape error for bad data/model arguments.
     if data is None:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        if n % model != 0:
+            raise ValueError(
+                f"{n} devices not divisible by model={model}")
         data = n // model
-    assert data * model == n, (
-        f"mesh {data}x{model} != {n} available devices")
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} available devices")
     if not explicit:
         # Topology-aware placement: the 'model' axis (ring attention's
         # ppermute, TP collectives) must sit on ICI-neighbor links; a raw
         # reshape of jax.devices() can interleave hosts/non-adjacent
         # chips on multi-host slices (round-3 review finding). Falls back
-        # to the plain reshape off-TPU.
+        # to the plain reshape off-TPU (mesh_utils has no topology for
+        # CPU/GPU test meshes); ON TPU a topology failure is an error —
+        # silently shipping the interleaved reshape would put ring/TP
+        # collectives on DCN with no warning, the exact bug the round-3
+        # fix removed.
         try:
             from jax.experimental import mesh_utils
             grid = mesh_utils.create_device_mesh((data, model),
                                                  devices=devices)
             return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
-        except Exception:
-            pass
+        except Exception as exc:
+            if devices[0].platform == "tpu":
+                raise RuntimeError(
+                    f"topology-aware mesh construction failed for "
+                    f"({data}, {model}) on TPU: {exc}; a raw device-order "
+                    "reshape would place the model axis on non-adjacent "
+                    "chips — pass devices= explicitly to override"
+                ) from exc
+            import warnings
+            warnings.warn(
+                f"mesh_utils.create_device_mesh failed ({exc!r}); "
+                "falling back to raw device-order reshape")
     grid = np.asarray(devices).reshape(data, model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

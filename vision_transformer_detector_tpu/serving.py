@@ -142,11 +142,28 @@ class DetectionService:
         fallback, centered zero padding). Runs on the calling thread,
         so concurrent HTTP requests decode in parallel while the device
         batches; the native path releases the GIL for real parallelism.
-        """
-        from .data.pipeline import letterbox_image_bytes
 
-        return letterbox_image_bytes(
-            data, self.config.image_size, fast_decode=self.fast_decode)
+        Undecodable bytes raise CorruptImageError (same normalization
+        the file pipeline applies) so the HTTP layer can tell a bad
+        payload (-> 400) from a server fault (-> 500).
+        """
+        from .data.pipeline import (CorruptImageError, _pil_bomb_error,
+                                    letterbox_image_bytes)
+
+        try:
+            return letterbox_image_bytes(
+                data, self.config.image_size, fast_decode=self.fast_decode)
+        except CorruptImageError:
+            raise
+        except _pil_bomb_error() as exc:
+            # DecompressionBombError subclasses Exception directly.
+            raise CorruptImageError("<request body>", exc) from exc
+        except (OSError, ValueError, SyntaxError) as exc:
+            # Same decoder-failure set the file pipeline normalizes
+            # (data/pipeline.py load_and_letterbox_image): PIL raises
+            # UnidentifiedImageError (an OSError) on non-image bytes and
+            # truncation OSErrors mid-decode.
+            raise CorruptImageError("<request body>", exc) from exc
 
     def map_to_source(self, detections: List[dict],
                       original_size) -> dict:
@@ -220,10 +237,13 @@ class ExportedDetectionService(DetectionService):
                     "artifact has baked postprocess; ignoring serve-time "
                     f"settings that differ from the baked spec: {diffs}")
 
+            # uint8 canvases pass straight through: ExportedDetector
+            # normalizes uint8 ON DEVICE (export.py __call__), so
+            # converting here with numpy would both burn host CPU in the
+            # serialized dispatcher and quadruple the host->device bytes
+            # (1 -> 4 per pixel) on the link the batcher's own comments
+            # identify as the bottleneck.
             def predict(images):
-                images = np.asarray(images)
-                if images.dtype == np.uint8:
-                    images = images.astype(np.float32) / 127.5 - 1.0
                 return self._exported(images)
         else:
             postprocess = jax.jit(lambda decoded: _pack_raw(
@@ -232,9 +252,6 @@ class ExportedDetectionService(DetectionService):
                     score_threshold=score_threshold)))
 
             def predict(images):
-                images = np.asarray(images)
-                if images.dtype == np.uint8:
-                    images = images.astype(np.float32) / 127.5 - 1.0
                 return postprocess(self._exported(images))
 
         self._predict_exported = predict
@@ -453,11 +470,15 @@ class BatchingDetectionService:
         after them); new submits are rejected."""
         if not self._running:
             return
+        # Close the accept window BEFORE posting the sentinel: submits
+        # that arrive during the (up to ~20 s) joins below would
+        # otherwise pass both _running checks, land behind the sentinel,
+        # and block until the drain errors them out.
+        self._running = False
         self._queue.put(None)
         self._dispatcher.join(timeout=10)
         for t in self._completers:
             t.join(timeout=10)
-        self._running = False
         # Fail any request that raced past the sentinel rather than
         # leaving its submitter blocked forever.
         while True:
@@ -515,8 +536,18 @@ class DetectionServer:
                                      max_wait_ms=max_wait_ms,
                                      bucket_mode=bucket_mode)
             if batching else None)
-        if self.batcher is not None and warmup:
-            self.batcher.warmup()
+        if warmup:
+            if self.batcher is not None:
+                self.batcher.warmup()
+            else:
+                # Direct mode dispatches per-request batch-1 calls;
+                # compile that graph now so the FIRST live request does
+                # not burn its client timeout on jit compilation (the
+                # batcher path always warmed up; the default direct path
+                # silently accepted-and-ignored warmup=True).
+                h, w = service.config.image_size
+                service.raw_to_detections(service.predict_raw(
+                    np.zeros((1, h, w, 3), np.uint8)))
         self.request_timeout = request_timeout
         # Request observability for GET /stats: monotonic outcome counters
         # plus a bounded window of recent end-to-end latencies (decode +
@@ -525,12 +556,18 @@ class DetectionServer:
         self._stats_lock = threading.Lock()
         self._started = time.monotonic()
         self._outcomes = {"ok": 0, "bad_request": 0, "timeout": 0,
-                          "not_found": 0}
+                          "not_found": 0, "server_error": 0}
         self._latencies_ms: "collections.deque" = collections.deque(
             maxlen=2048)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # Socket timeout for reads: without it a client that sends
+            # headers and then stalls the body holds its handler thread
+            # (and formerly an in-flight slot) forever. On expiry the
+            # read raises and the connection is dropped.
+            timeout = max(30.0, request_timeout)
+
             def log_message(self, *args):  # quiet
                 pass
 
@@ -571,18 +608,25 @@ class DetectionServer:
                         "error": f"body {length} bytes exceeds the "
                                  f"{server.max_body_bytes}-byte limit"})
                     return
+                # Read the body BEFORE taking an in-flight slot: a slow
+                # or stalled upload must cost only its own handler
+                # thread (bounded by the socket timeout above), never a
+                # prediction slot — 64 trickling uploads used to pin
+                # every slot and 429 all legitimate traffic.
+                data = self.rfile.read(length)
                 if not server._inflight_sem.acquire(blocking=False):
                     server._record("overloaded", None)
                     self._send(429, {"error": "too many in-flight "
                                               "requests; retry later"})
                     return
                 try:
-                    self._predict(length)
+                    self._predict(data)
                 finally:
                     server._inflight_sem.release()
 
-            def _predict(self, length: int):
-                data = self.rfile.read(length)
+            def _predict(self, data: bytes):
+                from .data.pipeline import CorruptImageError
+
                 tic = time.monotonic()
                 try:
                     if server.batcher is not None:
@@ -598,9 +642,21 @@ class DetectionServer:
                     server._record("timeout", time.monotonic() - tic)
                     self._send(503, {"error": str(exc)})
                     return
-                except Exception as exc:  # bad image, wrong payload...
+                except CorruptImageError as exc:
+                    # The one genuinely-client fault: an undecodable
+                    # payload (data/pipeline.py normalizes every decoder
+                    # failure to this type).
                     server._record("bad_request", time.monotonic() - tic)
                     self._send(400, {"error": str(exc)})
+                    return
+                except Exception as exc:
+                    # Everything else is OUR fault (device/runtime/tunnel
+                    # faults, service bugs). Returning these as 400 told
+                    # clients and load balancers a server outage was
+                    # their malformed traffic — 4xx is never retried, and
+                    # /stats blamed bad_request for the whole outage.
+                    server._record("server_error", time.monotonic() - tic)
+                    self._send(500, {"error": str(exc)})
                     return
                 server._record("ok", time.monotonic() - tic)
                 self._send(200, result)

@@ -639,3 +639,86 @@ def test_restore_mismatch_names_the_config_diff(tmp_path):
     t2 = Trainer(other, LOSS, TC, checkpoint_dir=str(tmp_path))
     with pytest.raises(ValueError, match="embedding_dim: checkpoint=8"):
         t2.restore(t2.init_state(), "ongoing")
+
+
+def test_lr_schedule_accumulation_counts_optimizer_steps():
+    """optax.MultiSteps advances the inner schedule once per k
+    micro-batches; boundaries must be quantized to OPTIMIZER steps or
+    every decay lands k x too many epochs late (round-4 review)."""
+    tc = TrainConfig(learning_rate=1e-3, epochs_first_lr_decay=10,
+                     epochs_second_lr_decay=20, epochs_third_lr_decay=30,
+                     rate_lr_decay=0.1, accumulate_steps=4)
+    # 100 micro-batches/epoch, k=4 -> 25 optimizer steps per epoch.
+    schedule = make_lr_schedule(tc, steps_per_epoch=100, every_k=4)
+    assert float(schedule(10 * 25 - 1)) == pytest.approx(1e-3)
+    assert float(schedule(10 * 25)) == pytest.approx(1e-4)
+    assert float(schedule(30 * 25)) == pytest.approx(1e-5)
+    # make_optimizer wires every_k from the config itself.
+    from vision_transformer_detector_tpu.train.optimizer import (
+        make_lr_schedule as mk)
+    direct = mk(tc, steps_per_epoch=100, every_k=tc.accumulate_steps)
+    assert float(direct(250)) == float(schedule(250))
+
+
+def test_lr_schedule_zero_length_interval_matches_reference():
+    """vtd.py:716-727: coincident boundaries decay ONCE at that epoch
+    and the unconsumed budget unit carries to the next DISTINCT
+    boundary (the old dict comprehension silently dropped a decay and
+    the truncation consumed budget on the duplicate)."""
+    tc = TrainConfig(learning_rate=1e-3, epochs_first_lr_decay=10,
+                     epochs_second_lr_decay=0, epochs_third_lr_decay=30,
+                     rate_lr_decay=0.1, allowed_decay_times=2)
+    schedule = make_lr_schedule(tc)
+    assert float(schedule(10)) == pytest.approx(1e-4)   # one decay at 10
+    assert float(schedule(40)) == pytest.approx(1e-5)   # budget carried
+
+    from vision_transformer_detector_tpu.api import learning_rate_step_decay
+    lr = 1e-3
+    seen = []
+    for epoch in range(50):
+        lr = learning_rate_step_decay(epoch, lr, 10, 0, 30, 0.1,
+                                      allowed_decay_times=2)
+        seen.append(lr)
+    assert seen[10] == pytest.approx(1e-4)
+    assert seen[40] == pytest.approx(1e-5)
+
+
+def test_trainer_skip_epochs_zero_disables_periodic(tmp_path):
+    """skip_epochs=0 disables the periodic eval/checkpoint cadence
+    instead of ZeroDivisionError-ing mid-training; the final-epoch
+    checkpoint still fires."""
+    import os
+
+    tc = TrainConfig(learning_rate=1e-4, skip_epochs=0, epochs_warm_up=0)
+    trainer = Trainer(TINY, LOSS, tc, checkpoint_dir=str(tmp_path))
+    state = trainer.init_state()
+    images, labels = _batch()
+    state = trainer.fit(state, [(images, labels)], epochs=2,
+                        eval_data=[(images, labels)])
+    assert int(state["step"]) == 2
+    assert trainer.best_ap == 0.0, "periodic eval disabled"
+    assert os.listdir(str(tmp_path)), "final-epoch checkpoint written"
+
+
+def test_fit_scanned_ragged_batches_diagnosed():
+    """epochs_per_call > 1 with ragged batch shapes raises an actionable
+    error, not jnp.stack's opaque shape mismatch."""
+    trainer = Trainer(TINY, LOSS, TC)
+    state = trainer.init_state()
+    images, labels = _batch()
+    data = [(images, labels), (images[:1], labels[:1])]
+    with pytest.raises(ValueError, match="uniform batch shapes"):
+        trainer.fit(state, data, epochs=4, epochs_per_call=2)
+
+
+def test_host_and_device_class_confidence_agree():
+    """metrics._class_confidence (the host twin used by both scorers)
+    matches ops.decode.classification_confidence bit-for-bit in fp32."""
+    from vision_transformer_detector_tpu.metrics.mean_average_precision \
+        import _class_confidence
+    from vision_transformer_detector_tpu.ops.decode import (
+        classification_confidence)
+
+    v = np.linspace(-1.0, 80.0, 971, dtype=np.float32)
+    np.testing.assert_array_equal(
+        _class_confidence(v), np.asarray(classification_confidence(v)))

@@ -157,12 +157,15 @@ def learning_rate_step_decay(epoch: int, lr: float,
     ipynb cell 7): called once per epoch with the CURRENT lr fed back, so
     the decay fires only AT the exact boundary epoch (vtd.py:714-718 uses
     ``==``), multiplying the incoming lr once per boundary. The budget is
-    consumed in chronological boundary order.
+    consumed once per MATCHING EPOCH (vtd.py:716-727), so a zero-length
+    decay interval collapses to one decay at that epoch and the leftover
+    budget unit carries to the next distinct boundary — dedup first,
+    then truncate.
     """
     boundaries = [epochs_first_lr_decay]
     boundaries.append(boundaries[-1] + epochs_second_lr_decay)
     boundaries.append(boundaries[-1] + epochs_third_lr_decay)
-    boundaries = boundaries[: max(0, allowed_decay_times)]
+    boundaries = sorted(set(boundaries))[: max(0, allowed_decay_times)]
     if epoch in boundaries:
         lr = lr * rate_lr_decay
     return lr

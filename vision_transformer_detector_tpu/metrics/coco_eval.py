@@ -454,11 +454,14 @@ def detections_from_decoded(decoded: np.ndarray,
     the reference thresholds (0.5/0.5, vtd.py:1378-1384) to score only
     what the reference would draw.
     """
+    from .mean_average_precision import _class_confidence
+
     decoded = np.asarray(decoded, np.float64)
     objectness = decoded[:, 0]
-    classification = decoded[:, 1]
-    class_conf = (0.5 - np.abs(classification -
-                               np.round(classification))) / 0.5
+    # The one host-side twin of ops.decode.classification_confidence —
+    # shared with the streaming metric so the definition cannot drift
+    # between the two scorers.
+    class_conf = _class_confidence(decoded[:, 1])
     keep = (objectness > objectness_threshold) & (
         class_conf > class_confidence_threshold)
     rows = decoded[keep]

@@ -23,15 +23,34 @@ from ..config import TrainConfig
 
 
 def make_lr_schedule(config: TrainConfig,
-                     steps_per_epoch: int = 1) -> optax.Schedule:
+                     steps_per_epoch: int = 1,
+                     every_k: int = 1) -> optax.Schedule:
     """Piecewise-constant schedule with the reference's cumulative
     boundaries (vtd.py:716-719), honouring allowed_decay_times
-    (vtd.py:690-693)."""
+    (vtd.py:690-693).
+
+    ``every_k``: micro-batches per optimizer step (gradient
+    accumulation). optax.MultiSteps advances the inner schedule's count
+    once per k micro-batches, so epoch boundaries must be expressed in
+    OPTIMIZER steps — without the division the decays fired k× too many
+    epochs late.
+
+    Zero-length decay intervals follow the reference exactly
+    (vtd.py:716-721 is one `or` over the three cumulative sums, with
+    the budget decremented once per MATCHING EPOCH): coincident
+    boundaries decay once at that epoch, and the unconsumed budget
+    unit carries to the next DISTINCT boundary. Hence dedup first,
+    then truncate to allowed_decay_times. Two distinct epochs that
+    quantize onto the same optimizer step (tiny steps_per_epoch,
+    large every_k) do compound — they are separate reference decays."""
     epochs = [config.epochs_first_lr_decay]
     epochs.append(epochs[-1] + config.epochs_second_lr_decay)
     epochs.append(epochs[-1] + config.epochs_third_lr_decay)
-    epochs = epochs[: max(0, config.allowed_decay_times)]
-    boundaries = {e * steps_per_epoch: config.rate_lr_decay for e in epochs}
+    epochs = sorted(set(epochs))[: max(0, config.allowed_decay_times)]
+    boundaries: dict = {}
+    for e in epochs:
+        step = (e * steps_per_epoch) // max(1, every_k)
+        boundaries[step] = boundaries.get(step, 1.0) * config.rate_lr_decay
     return optax.piecewise_constant_schedule(
         init_value=config.learning_rate,
         boundaries_and_scales=boundaries)
@@ -140,7 +159,8 @@ def scale_by_adam_compact(b1: float = 0.9, b2: float = 0.999,
 def make_optimizer(config: TrainConfig,
                    steps_per_epoch: int = 1) -> optax.GradientTransformation:
     """Gradient clip-by-value then Adam, like keras Adam(clipvalue)."""
-    schedule = make_lr_schedule(config, steps_per_epoch)
+    schedule = make_lr_schedule(config, steps_per_epoch,
+                                every_k=config.accumulate_steps)
     mu_dtype = (jnp.dtype(config.adam_mu_dtype)
                 if config.adam_mu_dtype else None)
     nu_dtype = (jnp.dtype(config.adam_nu_dtype)

@@ -85,6 +85,11 @@ def run_sweep(
     """
     os.makedirs(out_dir, exist_ok=True)
     records_path = os.path.join(out_dir, "records.jsonl")
+    # Fresh table per sweep: the per-point writes below append, so a
+    # re-run into the same out_dir used to mix stale rows (with
+    # duplicate 'run' indices) into a table whose run_00x artifacts the
+    # second run had overwritten.
+    open(records_path, "w").close()
     records: List[Dict[str, Any]] = []
 
     for index, point in enumerate(expand_grid(grid)):
@@ -99,10 +104,20 @@ def run_sweep(
         metrics_path = os.path.join(run_dir, "metrics.jsonl")
 
         train_data, eval_data = make_data(config, train_config)
-        steps = len(train_data) if hasattr(train_data, "__len__") else 1
+        if not hasattr(train_data, "__len__"):
+            # A silent steps_per_epoch=1 fallback would make the LR
+            # decay boundaries count optimizer STEPS instead of epochs —
+            # every sweep point would train on a wrong schedule and the
+            # records table would compare mis-trained runs.
+            raise TypeError(
+                "make_data must return a sized train dataset (__len__): "
+                "the LR schedule boundaries are epochs x steps_per_epoch "
+                f"and got {type(train_data).__name__} with no length. "
+                "Materialize the batches or wrap the stream with a "
+                "known-length dataset.")
         trainer = Trainer(config, loss_config, train_config,
-                          steps_per_epoch=max(1, steps), mesh=mesh,
-                          metrics_path=metrics_path)
+                          steps_per_epoch=max(1, len(train_data)),
+                          mesh=mesh, metrics_path=metrics_path)
         state = trainer.init_state()
         tic = time.time()
         trainer.fit(state, train_data, epochs=run_epochs,

@@ -511,7 +511,7 @@ class Trainer:
                     "scanned window would need per-process global-array "
                     "assembly of the stacked batches)")
             return self._fit_scanned(state, train_data, epochs, eval_data,
-                                     epochs_per_call, tic)
+                                     epochs_per_call, tic, rng)
         for epoch in range(epochs):
             epoch_losses = []
             # Both branches yield device-resident batches already (the
@@ -547,7 +547,7 @@ class Trainer:
         return state
 
     def _fit_scanned(self, state: TrainState, train_data, epochs: int,
-                     eval_data, epochs_per_call: int, tic: float
+                     eval_data, epochs_per_call: int, tic: float, rng
                      ) -> TrainState:
         """fit()'s device-resident windowed driver (epochs_per_call > 1):
         stack the materialized batches once, then run each window of
@@ -560,6 +560,16 @@ class Trainer:
                 "train_data is empty: no image paths matched, or "
                 "batch_size exceeds the dataset size (an incomplete "
                 "final batch is dropped)")
+        shapes = {(b[0].shape, b[1].shape) for b in train_data}
+        if len(shapes) > 1:
+            # jnp.stack's "all input arrays must have the same shape"
+            # would surface with no hint at the real cause.
+            raise ValueError(
+                "epochs_per_call > 1 requires uniform batch shapes to "
+                f"stack the dataset for the scan; got {sorted(shapes)}. "
+                "Drop or pad the ragged final batch, or use "
+                "epochs_per_call=1 (the per-epoch loop handles ragged "
+                "batches).")
         # Batches are device-resident already (fit put them); the stack
         # runs on device. Under a mesh, reshard so the per-step
         # dynamic_index yields batches laid out like _put_batch's.
@@ -574,7 +584,10 @@ class Trainer:
         multi_step = make_multi_step(self.config, self.loss_config,
                                      self.optimizer, mesh=self.mesh)
         has_eval = eval_data is not None
-        rng = jax.random.PRNGKey(self.train_config.seed + 1)
+        # rng comes from fit() — the SAME chain the per-epoch loop would
+        # consume, so the two drivers' trajectories stay bit-equal (a
+        # locally re-derived key here would silently fork if fit's seed
+        # derivation ever changed).
         epoch = 0
         while epoch < epochs:
             window = min(epochs_per_call, epochs - epoch)
@@ -607,14 +620,20 @@ class Trainer:
                     % self.check_weights_every == 0)
 
     def _eval_due(self, epoch: int) -> bool:
+        # skip_epochs <= 0 disables the periodic cadence (it used to
+        # ZeroDivisionError here mid-training, after the warm-up epochs).
         tc = self.train_config
-        return (epoch >= tc.epochs_warm_up
+        return (tc.skip_epochs > 0
+                and epoch >= tc.epochs_warm_up
                 and (epoch - tc.epochs_warm_up) % tc.skip_epochs == 0)
 
     def _ckpt_due(self, epoch: int, epochs: int) -> bool:
+        # The final-epoch checkpoint always fires; skip_epochs <= 0
+        # disables only the periodic ones.
         tc = self.train_config
         return bool(self.checkpoint_dir
-                    and (epoch % tc.skip_epochs == 0
+                    and ((tc.skip_epochs > 0
+                          and epoch % tc.skip_epochs == 0)
                          or epoch == epochs - 1))
 
     def _is_event_epoch(self, epoch: int, epochs: int,

@@ -435,3 +435,105 @@ def test_cli_fast_decode_reaches_every_decode_site(dataset, tmp_path,
           *common(dataset, tmp_path)])
     capsys.readouterr()
     assert captured.get("fast_decode") is True
+
+
+def test_cli_restore_latest_everywhere(dataset, tmp_path, capsys):
+    """--restore latest resolves to the newest step-stamped checkpoint
+    in EVERY subcommand (evaluate/predict used to pass the literal
+    string into Trainer.restore and die on a nonexistent path)."""
+    main(["train",
+          "--train-images", dataset["images"],
+          "--train-annotations", dataset["annotations"],
+          "--epochs", "2", "--learning-rate", "1e-4",
+          "--epochs-warm-up", "10", "--skip-epochs", "1",
+          "--keep-checkpoints", "2", *common(dataset, tmp_path)])
+    capsys.readouterr()
+
+    main(["evaluate", "--val-images", dataset["images"],
+          "--val-annotations", dataset["annotations"],
+          "--restore", "latest", *common(dataset, tmp_path)])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= result["mAP"] <= 1.0
+
+    main(["predict", "--images", dataset["images"],
+          "--images-range", "0", "1", "--restore", "latest",
+          *common(dataset, tmp_path)])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert len(out) == 1
+
+
+def test_cli_single_device_commands_reject_mesh_flags(dataset, tmp_path):
+    """predict/visualize/serve refuse --data-parallel/--model-parallel
+    instead of silently running on one device (round-4 review)."""
+    for cmd, extra in (
+            ("predict", ["--images", dataset["images"]]),
+            ("visualize", ["--images", dataset["images"],
+                           "--output-dir", str(tmp_path / "viz")]),
+            ("serve", [])):
+        with pytest.raises(SystemExit, match="single-device"):
+            main([cmd, *extra, "--data-parallel", "2",
+                  *common(dataset, tmp_path)])
+
+
+def test_cli_serve_from_export_refuses_model_flags(tmp_path):
+    """--from-export + --int8/--params-npz/--restore is refused: the
+    frozen artifact owns its weights, and silently ignoring --int8 made
+    operators record full-precision numbers as quantized."""
+    with pytest.raises(SystemExit, match="cannot honour --int8"):
+        main(["serve", "--from-export", str(tmp_path / "artifact"),
+              "--int8"])
+
+
+def test_cli_sweep_requires_data_or_synthetic(tmp_path):
+    with pytest.raises(SystemExit, match="--synthetic"):
+        main(["sweep", "--preset", "tiny_96",
+              "--sweep", "learning_rate=1e-4",
+              "--out-dir", str(tmp_path / "s")])
+
+
+def test_cli_benchmark_rejects_nonpositive_iterations(capsys):
+    with pytest.raises(SystemExit):
+        main(["benchmark", "--preset", "tiny_96", "--iterations", "0"])
+    assert "positive integer" in capsys.readouterr().err
+
+
+def test_cli_shuffle_seed_varies_order(dataset, tmp_path):
+    """--seed reaches the path shuffle: two seeds give two orders (a
+    hardcoded seed=0 used to make every run train on identical batch
+    sequences)."""
+    import argparse
+
+    from vision_transformer_detector_tpu.cli import (_build_dataset,
+                                                     build_parser)
+    from vision_transformer_detector_tpu.config import get_config
+
+    def build(seed):
+        args = build_parser().parse_args(
+            ["train", "--train-images", dataset["images"],
+             "--train-annotations", dataset["annotations"],
+             "--seed", str(seed), "--batch-size", "1",
+             "--preset", "tiny_96"])
+        ds = _build_dataset(args, get_config("tiny_96"),
+                            dataset["images"], dataset["annotations"],
+                            shuffle=True)
+        return list(ds.image_paths)
+
+    orders = {tuple(build(seed)) for seed in range(6)}
+    assert len(orders) > 1
+
+
+def test_cli_benchmark_train_honors_mesh_flags(tmp_path, capsys):
+    """Train mode runs under the trainer's mesh context (it used to call
+    train_step with no enclosing Mesh — sequence_sharding configs failed
+    at trace time) and gets the same divisibility guard as inference."""
+    main(["benchmark", *common({}, tmp_path), "--batch-size", "8",
+          "--preset", "tiny_96", "--iterations", "2", "--mode", "train",
+          "--data-parallel", "4", "--model-parallel", "2"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["mode"] == "train" and result["batch"] == 8
+    assert result["ms_per_step"] > 0
+
+    with pytest.raises(SystemExit, match="not divisible"):
+        main(["benchmark", *common({}, tmp_path), "--batch-size", "6",
+              "--preset", "tiny_96", "--iterations", "2",
+              "--mode", "train", "--data-parallel", "8"])

@@ -156,3 +156,58 @@ def test_reexport_clears_stale_graphs(tmp_path):
     # single -> bundle with different sizes: model.stablehlo must be gone
     save_exported(path, params, TINY, batch_size=[8])
     assert load_exported(path).batch_sizes == (8,)
+
+
+def test_export_crash_before_swap_preserves_old_artifact(tmp_path,
+                                                         monkeypatch):
+    """A re-export that dies mid-write must leave the OLD artifact fully
+    intact: every file (graphs, params.npz, config.json) is staged to
+    tmp names and swapped only at the end. params.npz used to be
+    rewritten in place AFTER the graph swap — a crash left new graphs
+    silently serving stale weights (round-4 review)."""
+    import os
+
+    from vision_transformer_detector_tpu import export as export_mod
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    path = str(tmp_path / "artifact")
+    save_exported(path, params, TINY, batch_size=1)
+    before = {name: os.path.getmtime(os.path.join(path, name))
+              for name in os.listdir(path)}
+
+    def boom(path_, params_):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(export_mod, "save_params_npz", boom, raising=False)
+    # save_exported imports save_params_npz locally from utils.checkpoint.
+    from vision_transformer_detector_tpu.utils import checkpoint as ckpt
+    monkeypatch.setattr(ckpt, "save_params_npz", boom)
+    params2 = init_params(jax.random.PRNGKey(1), TINY)
+    with pytest.raises(RuntimeError, match="disk full"):
+        save_exported(path, params2, TINY, batch_size=1)
+
+    # Old artifact untouched (same mtimes for the REAL files) and loads.
+    for name, mtime in before.items():
+        assert os.path.getmtime(os.path.join(path, name)) == mtime
+    detector = load_exported(path)
+    x = np.zeros((1, 34, 34, 3), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(detector(x)),
+        np.asarray(transform_predictions(forward(params, jnp.asarray(x),
+                                                 TINY), TINY)),
+        atol=1e-4)
+
+
+def test_exported_detector_normalizes_any_integer_dtype(artifact):
+    """int32/int64 pixel arrays (numpy's default for python lists) get
+    the same [-1,1] normalization as uint8 — a bare float cast used to
+    feed the graph ~127x-out-of-range inputs."""
+    path, _ = artifact
+    detector = load_exported(path)
+    pixels = np.random.default_rng(3).integers(
+        0, 255, (2, 34, 34, 3))
+    out_u8 = np.asarray(detector(pixels.astype(np.uint8)))
+    out_i32 = np.asarray(detector(pixels.astype(np.int32)))
+    out_i64 = np.asarray(detector(pixels))
+    np.testing.assert_allclose(out_i32, out_u8, atol=1e-6)
+    np.testing.assert_allclose(out_i64, out_u8, atol=1e-6)

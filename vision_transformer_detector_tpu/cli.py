@@ -102,7 +102,10 @@ def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
         # ResumableDataset owns shuffling (a fresh deterministic
         # permutation per epoch, seeded by (seed, epoch)) — pre-shuffling
         # the path list here would just permute its input once.
-        shuffle=shuffle and not resumable, seed=0)
+        shuffle=shuffle and not resumable,
+        # --seed must vary the data order too; a hardcoded 0 made every
+        # non-resumable shuffled run train on identical batch sequences.
+        seed=getattr(args, "seed", 0))
     batch_size = args.batch_size
     shard = {}
     if mesh is not None and jax.process_count() > 1:
@@ -177,6 +180,28 @@ def _maybe_mesh(args):
     return create_mesh(data=args.data_parallel, model=args.model_parallel)
 
 
+def _reject_mesh_flags(args, command: str) -> None:
+    """Refuse --data-parallel/--model-parallel on single-device
+    subcommands — silently ignoring them mislabels the run (the user
+    believes N chips served their request), the same bug class the
+    round-3 benchmark fix removed."""
+    if args.data_parallel > 1 or args.model_parallel > 1:
+        raise SystemExit(
+            f"`{command}` runs single-device; --data-parallel/"
+            "--model-parallel are not supported here (use `evaluate`/"
+            "`train` for sharded execution)")
+
+
+def _restore_state(trainer, state, restore: str):
+    """--restore with one contract for EVERY subcommand: 'latest'
+    resolves to the newest step-stamped checkpoint (the flag's help
+    promises this; four subcommands used to pass the literal string
+    into Trainer.restore and fail on a nonexistent path)."""
+    if restore == "latest":
+        return trainer.restore_latest(state)
+    return trainer.restore(state, restore)
+
+
 def cmd_train(args) -> None:
     from .train.trainer import Trainer
     from .utils.checkpoint import load_params_npz
@@ -248,10 +273,8 @@ def cmd_train(args) -> None:
     state = trainer.init_state()
     if args.params_npz:
         state["params"] = load_params_npz(args.params_npz, state["params"])
-    if args.restore == "latest":
-        state = trainer.restore_latest(state)
-    elif args.restore:
-        state = trainer.restore(state, args.restore)
+    if args.restore:
+        state = _restore_state(trainer, state, args.restore)
     if args.resumable and trainer.dataset_resume_state is not None:
         # restore() loaded the input position saved beside the checkpoint;
         # rewind the stream to the exact next batch.
@@ -282,7 +305,7 @@ def cmd_evaluate(args) -> None:
     if args.params_npz:
         state["params"] = load_params_npz(args.params_npz, state["params"])
     elif args.restore:
-        state = trainer.restore(state, args.restore)
+        state = _restore_state(trainer, state, args.restore)
     dump = getattr(args, "dump_detections", None)
     if dump and protocol != "coco-original":
         raise SystemExit("--dump-detections requires "
@@ -365,13 +388,14 @@ def cmd_predict(args) -> None:
     from .train.trainer import Trainer, make_eval_step
     from .utils.checkpoint import load_params_npz
 
+    _reject_mesh_flags(args, "predict")
     config = _build_config(args)
     trainer = Trainer(config, checkpoint_dir=args.checkpoint_dir)
     state = trainer.init_state()
     if args.params_npz:
         state["params"] = load_params_npz(args.params_npz, state["params"])
     elif args.restore:
-        state = trainer.restore(state, args.restore)
+        state = _restore_state(trainer, state, args.restore)
 
     eval_step = make_eval_step(config)
     start, end = args.images_range
@@ -400,13 +424,14 @@ def cmd_visualize(args) -> None:
     from .utils.checkpoint import load_params_npz
     from .utils.visualize import visualize_predictions
 
+    _reject_mesh_flags(args, "visualize")
     config = _build_config(args)
     trainer = Trainer(config, checkpoint_dir=args.checkpoint_dir)
     state = trainer.init_state()
     if args.params_npz:
         state["params"] = load_params_npz(args.params_npz, state["params"])
     elif args.restore:
-        state = trainer.restore(state, args.restore)
+        state = _restore_state(trainer, state, args.restore)
 
     predict_step = make_predict_step(config)
     start, end = args.images_range
@@ -446,6 +471,13 @@ def _parse_sweep_value(text: str):
 def cmd_sweep(args) -> None:
     from .train.sweep import format_records, run_sweep
 
+    if not args.synthetic and not (args.train_images
+                                   and args.train_annotations):
+        # Without this the run crashes deep in the data layer with an
+        # opaque TypeError from open(None)/os.walk(None).
+        raise SystemExit(
+            "sweep needs --train-images and --train-annotations, "
+            "or --synthetic")
     config = _build_config(args)
     train_config = TrainConfig(
         learning_rate=args.learning_rate, batch_size=args.batch_size,
@@ -515,7 +547,21 @@ def cmd_stats(args) -> None:
 def cmd_serve(args) -> None:
     from .serving import DetectionService, ExportedDetectionService
 
+    _reject_mesh_flags(args, "serve")
     if args.from_export:
+        # Refuse-over-silently-ignore: the frozen artifact owns its
+        # weights and precision; an operator passing --int8 would
+        # otherwise believe they are serving quantized weights while
+        # recording full-precision latency/AP numbers.
+        ignored = [flag for flag, given in (
+            ("--int8", args.int8),
+            ("--params-npz", args.params_npz),
+            ("--restore", args.restore)) if given]
+        if ignored:
+            raise SystemExit(
+                "--from-export serves the frozen artifact and cannot "
+                f"honour {', '.join(ignored)}; bake the model into the "
+                "artifact at `export` time instead")
         service = ExportedDetectionService(
             args.from_export,
             iou_threshold=args.nms_iou_threshold,
@@ -533,7 +579,7 @@ def cmd_serve(args) -> None:
     if args.params_npz:
         state["params"] = load_params_npz(args.params_npz, state["params"])
     elif args.restore:
-        state = trainer.restore(state, args.restore)
+        state = _restore_state(trainer, state, args.restore)
 
     params = state["params"]
     if args.int8:
@@ -589,10 +635,7 @@ def cmd_export(args) -> None:
     elif args.restore:
         trainer = Trainer(config, checkpoint_dir=args.checkpoint_dir)
         state = trainer.init_state()
-        if args.restore == "latest":
-            state = trainer.restore_latest(state)
-        else:
-            state = trainer.restore(state, args.restore)
+        state = _restore_state(trainer, state, args.restore)
         params = state["params"]
     else:
         params = init_params(jax.random.PRNGKey(0), config)
@@ -688,28 +731,35 @@ def cmd_benchmark(args) -> None:
     from .ops.decode import transform_predictions
 
     config = _build_config(args)
-    params = init_params(jax.random.PRNGKey(0), config)
     h, w = config.image_size
     batch = args.batch_size
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3),
                                 minval=-1.0, maxval=1.0)
     iterations = args.iterations
 
+    # --data-parallel/--model-parallel apply to BOTH modes: the
+    # inference path used to accept the flags but silently time a
+    # single device, mislabeling the result (round-3 review finding) —
+    # and the train path did the same until round 4.
+    mesh = _maybe_mesh(args)
+    if mesh is not None:
+        from .parallel import mesh as mesh_lib
+
+        data_size = mesh.shape[mesh_lib.DATA_AXIS]
+        if batch % data_size != 0:
+            raise SystemExit(
+                f"--batch-size {batch} is not divisible by "
+                f"--data-parallel {data_size}")
+
     if args.mode == "inference":
         import contextlib
 
-        # --data-parallel/--model-parallel apply to BOTH modes: the
-        # inference path used to accept the flags but silently time a
-        # single device, mislabeling the result (round-3 review finding).
-        mesh = _maybe_mesh(args)
+        # Only this branch uses the standalone params; train mode's
+        # Trainer.init_state() builds its own (a second ViT-L init
+        # wasted minutes and held a params-sized HBM allocation alive
+        # through the timed run).
+        params = init_params(jax.random.PRNGKey(0), config)
         if mesh is not None:
-            from .parallel import mesh as mesh_lib
-
-            data_size = mesh.shape[mesh_lib.DATA_AXIS]
-            if batch % data_size != 0:
-                raise SystemExit(
-                    f"--batch-size {batch} is not divisible by "
-                    f"--data-parallel {data_size}")
             params = jax.device_put(
                 params, mesh_lib.param_shardings(params, mesh))
             images = jax.device_put(images, mesh_lib.batch_sharding(mesh))
@@ -735,22 +785,26 @@ def cmd_benchmark(args) -> None:
         from .train.trainer import Trainer
 
         trainer = Trainer(config, LossConfig(), TrainConfig(
-            learning_rate=1e-4, batch_size=batch), mesh=_maybe_mesh(args))
+            learning_rate=1e-4, batch_size=batch), mesh=mesh)
         state = trainer.init_state()
         labels = np.full((batch, config.max_objects, 6), -8.0, np.float32)
         labels[..., 0] = 0.0
         labels[:, 0] = (1, 3, h / 2, w / 2, h / 4, w / 4)
         images_d, labels_d = trainer._put_batch(np.asarray(images), labels)
         rng = jax.random.PRNGKey(0)
-        state, loss = trainer.train_step(state, images_d, labels_d, rng)
-        float(loss)                                  # compile + sync
-        tic = time.perf_counter()
-        for _ in range(iterations):
-            # Chained through the state pytree: step i+1 consumes step
-            # i's updated params, so the device cannot reorder.
+        # Same mesh context Trainer.fit uses: sequence_sharding configs
+        # trace with_sharding_constraint and need an enclosing Mesh.
+        with trainer._mesh_context():
             state, loss = trainer.train_step(state, images_d, labels_d, rng)
-        float(loss)
-        elapsed = time.perf_counter() - tic
+            float(loss)                              # compile + sync
+            tic = time.perf_counter()
+            for _ in range(iterations):
+                # Chained through the state pytree: step i+1 consumes
+                # step i's updated params, so the device cannot reorder.
+                state, loss = trainer.train_step(
+                    state, images_d, labels_d, rng)
+            float(loss)
+            elapsed = time.perf_counter() - tic
 
     ms = elapsed / iterations * 1e3
     print(json.dumps({
@@ -1008,7 +1062,7 @@ def build_parser() -> argparse.ArgumentParser:
     common(p)
     p.add_argument("--mode", choices=("inference", "train"),
                    default="inference")
-    p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--iterations", type=_positive_int, default=10)
     p.set_defaults(func=cmd_benchmark)
 
     p = sub.add_parser(

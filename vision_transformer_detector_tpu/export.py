@@ -131,9 +131,27 @@ def save_exported(directory: str, params, config: DetectorConfig,
                                 postprocess=postprocess)
         with open(os.path.join(directory, tmp), "wb") as f:
             f.write(blob)
-    # All new graphs written — now clear stale graphs (the loader merges
-    # every model*.stablehlo it finds; an old model_b64 from a previous
-    # export would still receive requests — ADVICE round 2) and rename.
+    # Params and config go through tmp + os.replace too: they used to be
+    # rewritten IN PLACE and AFTER the graph swap, so a crash mid-export
+    # left new graphs paired with stale or truncated weights/config — a
+    # live artifact that loads cleanly and silently serves the wrong
+    # model. (np.savez appends .npz to unknown extensions, hence the
+    # .tmp.npz tmp name.)
+    params_tmp = os.path.join(directory, "params.tmp.npz")
+    save_params_npz(params_tmp, params)
+    payload = configs_to_dict(config)
+    if postprocess is not None:
+        payload["postprocess"] = postprocess
+    config_tmp = os.path.join(directory, _CONFIG_FILE + ".tmp")
+    with open(config_tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    # Everything is fully written — now clear stale graphs (the loader
+    # merges every model*.stablehlo it finds; an old model_b64 from a
+    # previous export would still receive requests — ADVICE round 2)
+    # and rename. The crash window shrinks from the whole multi-minute
+    # export to a few renames; a crash between renames can still pair
+    # mixed generations briefly — full transactionality would need a
+    # versioned artifact layout.
     for entry in os.listdir(directory):
         if entry == _MODEL_FILE or (entry.startswith("model_b")
                                     and entry.endswith(".stablehlo")):
@@ -141,12 +159,8 @@ def save_exported(directory: str, params, config: DetectorConfig,
     for name, tmp in zip(names, tmp_names):
         os.replace(os.path.join(directory, tmp),
                    os.path.join(directory, name))
-    save_params_npz(os.path.join(directory, _PARAMS_FILE), params)
-    payload = configs_to_dict(config)
-    if postprocess is not None:
-        payload["postprocess"] = postprocess
-    with open(os.path.join(directory, _CONFIG_FILE), "w") as f:
-        json.dump(payload, f, indent=1)
+    os.replace(params_tmp, os.path.join(directory, _PARAMS_FILE))
+    os.replace(config_tmp, os.path.join(directory, _CONFIG_FILE))
     return directory
 
 
@@ -200,10 +214,12 @@ class ExportedDetector:
 
     def __call__(self, images) -> jnp.ndarray:
         images = jnp.asarray(images)
-        if images.dtype == jnp.uint8:
+        if jnp.issubdtype(images.dtype, jnp.integer):
             # Same [-1,1] normalization every other inference path
             # applies to uint8 (Detector/DetectionService); a silent
             # 0..255 float cast fed the graph ~127x-out-of-range inputs.
+            # ANY integer dtype means raw pixel values (int32 is numpy's
+            # default for python-list images), not [-1,1] floats.
             images = images.astype(jnp.float32) / 127.5 - 1.0
         images = images.astype(jnp.float32)
         request = images.shape[0]

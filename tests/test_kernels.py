@@ -505,3 +505,90 @@ def test_flash_dropout_zero_rate_is_identity():
     out = flash_attention(q, k, v, dropout_rate=None)
     want = flash_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want))
+
+
+def test_fused_ffn_is_differentiable_and_matches_oracle_grads():
+    """--fused-ffn used to crash the first train step: the pallas_call
+    had no VJP and Pallas AD lowering fails. Now a recompute custom VJP
+    makes the kernel differentiable; gradients must match the plain-jnp
+    oracle mish(x @ w + b) for x, w AND b."""
+    from vision_transformer_detector_tpu.kernels.fused_ffn import (
+        fused_dense_mish)
+
+    rngs = jax.random.split(jax.random.PRNGKey(0), 4)
+    x = jax.random.normal(rngs[0], (3, 40, 96), jnp.float32)
+    w = jax.random.normal(rngs[1], (96, 176), jnp.float32) * 0.1
+    b = jax.random.normal(rngs[2], (176,), jnp.float32) * 0.1
+    cot = jax.random.normal(rngs[3], (3, 40, 176), jnp.float32)
+
+    def oracle(x, w, b):
+        z = x @ w + b
+        return jnp.sum((z * jnp.tanh(jax.nn.softplus(z))) * cot)
+
+    def fused(x, w, b):
+        return jnp.sum(fused_dense_mish(x, w, b) * cot)
+
+    gx_o, gw_o, gb_o = jax.grad(oracle, argnums=(0, 1, 2))(x, w, b)
+    gx_f, gw_f, gb_f = jax.grad(fused, argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_o),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_o),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_o),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_ffn_trains_end_to_end():
+    """A full train step with use_fused_ffn=True (the CLI --fused-ffn
+    path that used to die at the first gradient trace)."""
+    from vision_transformer_detector_tpu.config import (
+        DetectorConfig, LossConfig, TrainConfig)
+    from vision_transformer_detector_tpu.train.optimizer import (
+        make_optimizer)
+    from vision_transformer_detector_tpu.train.trainer import (
+        create_train_state, make_train_step)
+
+    cfg = DetectorConfig(
+        image_size=(34, 34), embedding_dim=8, num_heads=2, key_dim=4,
+        encoder_blocks=1, encoder_mlp_layers=2, head_last_units=8,
+        head_layers=1, use_fused_ffn=True)
+    optimizer = make_optimizer(TrainConfig(learning_rate=1e-4))
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    step = make_train_step(cfg, LossConfig(), optimizer, donate=False)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 34, 34, 3),
+                                minval=-1, maxval=1)
+    labels = np.full((2, cfg.max_objects, 6), -8.0, np.float32)
+    labels[..., 0] = 0.0
+    labels[0, 0] = (1, 5, 17.0, 17.0, 10.0, 10.0)
+    state, loss1 = step(state, images, jnp.asarray(labels),
+                        jax.random.PRNGKey(2))
+    state, loss2 = step(state, images, jnp.asarray(labels),
+                        jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+
+
+def test_int8_serving_with_padded_key_dim():
+    """quantize_params(pad_attention_key_dim(params)) — both public
+    APIs composed — must forward: the attention head dim is read off
+    the quantized layer's (H, K) bias, not config.key_dim (round-4
+    review: the reshape crashed on the physical 64 vs nominal 40)."""
+    from vision_transformer_detector_tpu.config import DetectorConfig
+    from vision_transformer_detector_tpu.kernels.quantization import (
+        quantize_params)
+    from vision_transformer_detector_tpu.models.vit_detector import (
+        forward, init_params, pad_attention_key_dim)
+
+    cfg = DetectorConfig(
+        image_size=(34, 34), embedding_dim=8, num_heads=2, key_dim=4,
+        encoder_blocks=1, encoder_mlp_layers=2, head_last_units=8,
+        head_layers=1)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    padded_q = quantize_params(pad_attention_key_dim(params, to=8))
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 34, 34, 3),
+                                minval=-1, maxval=1)
+    base = forward(params, images, cfg)
+    quant = forward(padded_q, images, cfg)
+    assert quant.shape == base.shape
+    assert np.isfinite(np.asarray(quant)).all()
+    # int8 is lossy but must stay in the same ballpark as fp32.
+    assert float(jnp.mean(jnp.abs(quant - base))) < 1.0

@@ -228,3 +228,20 @@ def test_ring_batch_sharded_over_data_matches_oracle():
                              dropout_seed=jnp.uint32(seed))
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(want_d),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_ring_jitted_entry_accepts_dropout():
+    """The standalone jitted ring_attention entry must accept
+    dropout_rate (it traced the float and died in the `in (None, 0.0)`
+    bool — round-4 review; only ring_attention_in_jit was covered)."""
+    from vision_transformer_detector_tpu.kernels.ring_attention import (
+        ring_attention, ring_attention_in_jit)
+
+    q, k, v = _qkv(2, 16, 2, 8)
+    mesh = create_mesh(data=2, model=4)
+    out = ring_attention(q, k, v, mesh, dropout_rate=0.25, dropout_seed=7)
+    assert np.isfinite(np.asarray(out)).all()
+    # dropout_rate=0.0 is the documented no-op spelling.
+    out0 = ring_attention(q, k, v, mesh, dropout_rate=0.0)
+    ref = ring_attention(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref))

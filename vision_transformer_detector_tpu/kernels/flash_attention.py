@@ -62,7 +62,7 @@ def dropout_keep_mask(seed, bh_idx, q_idx, k_idx, threshold: int):
 
 
 def _flash_kernel(*refs, block_kv: int, seq_len: int,
-                  dropout: tuple | None = None):
+                  dropout: tuple | None = None, with_lse: bool = False):
     """One (batch*head, q-block) program: stream KV blocks, keep running
     softmax statistics in fp32.
 
@@ -80,10 +80,14 @@ def _flash_kernel(*refs, block_kv: int, seq_len: int,
     exactly. A seed scalar arrives as an extra leading SMEM ref.
     """
     if dropout is not None:
-        seed_ref, q_ref, k_ref, v_ref, o_ref = refs
+        seed_ref, q_ref, k_ref, v_ref, *out_refs = refs
         threshold, inv_keep = dropout
     else:
-        q_ref, k_ref, v_ref, o_ref = refs
+        q_ref, k_ref, v_ref, *out_refs = refs
+    if with_lse:
+        o_ref, lse_ref = out_refs
+    else:
+        (o_ref,) = out_refs
     q = q_ref[0]                                # (block_q, K), input dtype
     block_q = q.shape[0]
     kv_total = k_ref.shape[1]
@@ -131,48 +135,17 @@ def _flash_kernel(*refs, block_kv: int, seq_len: int,
     m0 = jnp.full((block_q,), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q,), jnp.float32)
     acc0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-
-    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
-
-
-def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                      block_kv: int, seq_len: int):
-    """Forward kernel that also emits logsumexp(qk) per query row — the
-    residual the Pallas backward needs."""
-    q = q_ref[0]                                # input dtype (see above)
-    block_q = q.shape[0]
-    kv_total = k_ref.shape[1]
-    num_kv = kv_total // block_kv
-
-    def body(i, carry):
-        m_prev, l_prev, acc_prev = carry
-        k = k_ref[0, pl.ds(i * block_kv, block_kv), :]
-        v = v_ref[0, pl.ds(i * block_kv, block_kv), :]
-        s = jax.lax.dot_general(
-            q, k, _CONTRACT_LAST, preferred_element_type=jnp.float32)
-        kv_pos = (i * block_kv
-                  + jax.lax.broadcasted_iota(jnp.int32,
-                                             (block_q, block_kv), 1))
-        s = jnp.where(kv_pos < seq_len, s, _NEG_INF)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, None])
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
-        acc_new = acc_prev * alpha[:, None] + jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((block_q,), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q,), jnp.float32)
-    acc0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
 
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
-    # lse is stored 8-sublane-replicated: Mosaic requires block sublane
-    # dims divisible by 8.
-    lse = m + jnp.log(l)
-    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+    if with_lse:
+        # The normaliser l accumulates UNdropped probabilities (see the
+        # dropout note above), so m + log(l) is the true logsumexp —
+        # the residual the Pallas backward needs — regardless of the
+        # dropout switch. Stored 8-sublane-replicated: Mosaic requires
+        # block sublane dims divisible by 8.
+        lse = m + jnp.log(l)
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
 def _fused_bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
@@ -243,8 +216,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .tiling import round_up as _round_up  # shared (round-4 dedup)
 
 
 def _auto_blocks(n: int) -> tuple[int, int]:
@@ -442,7 +414,7 @@ def _flash_bwd_pallas(q, k, v, out, lse, g, block_q, block_kv, interpret,
         delta = delta.transpose(0, 2, 1)
     delta = delta.reshape(bh, n)
     delta = jnp.pad(delta, ((0, 0), (0, n_pad_q - n)))
-    # 8-sublane replication (Mosaic tile constraints; see _flash_kernel_lse)
+    # 8-sublane replication (Mosaic tile constraints; see _flash_kernel's lse path)
     delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, n_pad_q))
     # lse is padded to the FORWARD call's query padding; re-pad to this
     # call's (the paddings may differ when block sizes do).
@@ -679,8 +651,8 @@ def _flash_forward(q, k, v, block_q, block_kv, interpret,
 
     if with_lse:
         out, lse = pl.pallas_call(
-            functools.partial(_flash_kernel_lse, block_kv=block_kv,
-                              seq_len=n),
+            functools.partial(_flash_kernel, block_kv=block_kv,
+                              seq_len=n, with_lse=True),
             grid=grid,
             in_specs=in_specs,
             out_specs=(out_tile,

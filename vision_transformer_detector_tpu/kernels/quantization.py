@@ -153,8 +153,7 @@ def is_quantized(layer: Any) -> bool:
 # Fused Pallas int8 dense (+mish): quantize-in-kernel
 # ---------------------------------------------------------------------------
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .tiling import round_up as _round_up  # shared (round-4 dedup)
 
 
 def _fused_int8_kernel(x_ref, w_ref, wscale_ref, bias_ref, o_ref, *,

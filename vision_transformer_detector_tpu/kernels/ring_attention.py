@@ -164,7 +164,8 @@ def ring_attention_in_jit(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return fn(q, k, v, seed)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "axis_name", "dropout_rate"))
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    mesh: Mesh,
                    axis_name: str = MODEL_AXIS,

@@ -305,8 +305,14 @@ def _attention(x, mha, config: DetectorConfig, compute_dtype,
     # pad_attention_key_dim() widens the projections (e.g. 40 -> 64) with
     # exact zero columns so every attention contraction is MXU-lane
     # aligned; the softmax scale stays 1/sqrt(config.key_dim).
+    # Int8-quantized projections flatten the kernel into kernel_q but
+    # keep the unquantized (H, K) bias — read K off the bias there, so
+    # quantize_params(pad_attention_key_dim(params)) serves correctly
+    # (config.key_dim is the NOMINAL 40, and the reshape below would
+    # fail against the physical 64).
     k = (mha["query"]["kernel"].shape[-1]
-         if "kernel" in mha["query"] else config.key_dim)
+         if "kernel" in mha["query"]
+         else mha["query"]["bias"].shape[-1])
     xc = x.astype(compute_dtype)
     window = config.attention_window
     # keras MHA applies dropout to the post-softmax probabilities whenever

@@ -799,3 +799,44 @@ def test_per_category_breakdown_in_summary(tmp_path):
     assert per["1"] == pytest.approx(1.0)
     assert per["2"] == pytest.approx(0.0)
     assert summary["AP"] == pytest.approx(0.5)
+
+
+def test_detections_from_decoded_ranks_by_combined_score():
+    """The ranking score is objectness * class_confidence (the framework's
+    canonical detection score, ops/nms.py): a high-objectness slot with an
+    ambiguous class regression must not outrank a confident detection."""
+    decoded = np.zeros((2, 6))
+    decoded[0] = (0.90, 5.45, 100, 60, 20, 40)  # class conf (0.5-0.45)/0.5
+    decoded[1] = (0.85, 5.025, 100, 60, 20, 40)
+    _, scores, _ = detections_from_decoded(decoded)
+    np.testing.assert_allclose(scores, [0.90 * 0.1, 0.85 * 0.95],
+                               rtol=1e-5)
+    assert scores[1] > scores[0]
+
+
+def test_ap_rejects_unevaluated_iou_threshold():
+    """ap()/per_category() do exact threshold lookup: asking for AP@0.5
+    from an evaluator run at custom thresholds must raise, not silently
+    return the nearest threshold's AP; summarize() omits AP50/AP75 when
+    those points were not evaluated."""
+    ev = CocoEvaluator(iou_thresholds=[0.6, 0.7])
+    ev.add_image(gt_boxes=[[0, 0, 10, 10]], gt_categories=[1],
+                 det_boxes=[[0, 0, 10, 10]], det_scores=[0.9],
+                 det_categories=[1])
+    results = ev.evaluate()
+    assert results.ap(iou=0.6) == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="not one of the evaluated"):
+        results.ap(iou=0.5)
+    with pytest.raises(ValueError, match="not one of the evaluated"):
+        results.per_category(iou=0.75)
+    s = results.summarize()
+    assert "AP50" not in s and "AP75" not in s
+    assert s["AP"] == pytest.approx(1.0)
+
+    # Default thresholds keep the standard keys and exact lookup.
+    ev2 = CocoEvaluator()
+    ev2.add_image(gt_boxes=[[0, 0, 10, 10]], gt_categories=[1],
+                  det_boxes=[[0, 0, 10, 10]], det_scores=[0.9],
+                  det_categories=[1])
+    s2 = ev2.evaluate().summarize()
+    assert s2["AP50"] == 1.0 and s2["AP75"] == 1.0

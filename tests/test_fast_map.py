@@ -257,3 +257,41 @@ def test_inert_padding_rows_are_noop():
                         np.concatenate([pred[1:], pad_pred]),
                         use_transform_predictions=False)
     assert padded.result() == pytest.approx(want, abs=1e-6)
+
+
+def test_differing_label_and_prediction_slot_counts():
+    """The host twin accepts labels and predictions with different slot
+    counts (its reference tests use 10-slot labels against 17-slot
+    predictions); the jitted metric must too — the matcher broadcasts
+    each label box to the PREDICTION slot count, not the label's."""
+    label = empty_labels(2)                      # (2, 10, 6)
+    label[0, 0] = (1, 5, 100.0, 100.0, 40.0, 40.0)
+    label[1, 0] = (1, 7, 200.0, 200.0, 60.0, 60.0)
+
+    pred = np.full((2, 17, 6), -8.0, np.float32)  # (2, 17, 6)
+    pred[..., 0] = 0.0
+    pred[0, 0] = (0.9, 5.0, 102.0, 102.0, 38.0, 38.0)
+    pred[0, 1] = (0.8, 5.0, 300.0, 300.0, 20.0, 20.0)  # false positive
+    pred[1, 0] = (0.9, 7.0, 200.0, 200.0, 60.0, 60.0)
+
+    host = MeanAveragePrecision(CFG)
+    device = JitMeanAveragePrecision(CFG)
+    host.update_state(label, pred, use_transform_predictions=False)
+    device.update_state(label, pred, use_transform_predictions=False)
+    assert float(device.result()) == pytest.approx(
+        float(host.result()), abs=1e-6)
+    assert float(host.result()) > 0.0
+
+
+def test_non_integral_label_category_marks_truncated_class():
+    """The host oracle truncates label categories (astype(np.int32)) when
+    marking showed_up classes; the jitted metric must mark the same class
+    for a non-integral (corrupt/interpolated) category like 2.4."""
+    label = empty_labels(1)
+    label[0, 0] = (1, 2.4, 100.0, 100.0, 40.0, 40.0)
+    pred = empty_labels(1)
+    pred[..., :] = -8.0
+    pred[0, 0] = (0.9, 5.0, 200.0, 200.0, 30.0, 30.0)  # unrelated class
+
+    host, device = both(label, pred)
+    assert device == pytest.approx(host, abs=1e-6)

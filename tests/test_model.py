@@ -518,3 +518,62 @@ def test_grid_geometry_validation():
     params = init_params(jax.random.PRNGKey(0), ok)
     out = forward(params, jnp.zeros((1, 64, 64, 3)), ok)
     assert out.shape == (1, ok.max_objects, 6)
+
+
+def test_ring_and_window_mutually_exclusive():
+    """ring_attention + attention_window fails at init: with a mesh the
+    ring path runs exact global attention (window silently ignored) while
+    meshless calls would run windowed attention — same weights, two
+    architectures. The validator now rejects the combination."""
+    import pytest
+
+    bad = TINY.replace(image_size=(64, 64), patch_size=16,
+                       ring_attention=True, attention_window=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        init_params(jax.random.PRNGKey(0), bad)
+
+
+def test_init_rng_budget_deep_configs():
+    """init_params sizes its rng key pool exactly; deep-head / deep-MLP
+    configs that exhausted the old approximate budget (StopIteration
+    inside jit) now initialise and run."""
+    for cfg in (
+        TINY.replace(head_block_repeats=6),
+        TINY.replace(encoder_mlp_layers=12),
+        TINY.replace(image_size=(64, 64), patch_size=16,
+                     head_scales=(1, 2, 4), head_block_repeats=5),
+    ):
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        h, w = cfg.image_size
+        out = forward(params, jnp.zeros((1, h, w, 3)), cfg)
+        assert out.shape == (1, cfg.max_objects, 6)
+
+
+def test_mha_init_matches_keras_fans():
+    """Attention projection init uses keras compute_fans semantics for the
+    rank-3 EinsumDense kernels: (D, H, K) -> fans (H*D, K*D) and
+    (H, K, D) -> (K*H, D*H). The naive (prod-in, prod-out) fans start the
+    projections ~2x wider than keras' — verified against installed keras'
+    compute_fans((28, 8, 40)) == (224, 1120)."""
+    import math
+
+    from vision_transformer_detector_tpu.models.vit_detector import (
+        _keras_fans)
+
+    assert _keras_fans((28, 8, 40)) == (224, 1120)
+    assert _keras_fans((8, 40, 28)) == (320, 224)
+    assert _keras_fans((16, 32)) == (16, 32)  # rank-2 Dense unchanged
+
+    cfg = TINY.replace(embedding_dim=64, num_heads=4, key_dim=16)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mha = params["encoder"][0]["mha"]
+    q = np.asarray(mha["query"]["kernel"], np.float32)
+    fan_in, fan_out = _keras_fans(q.shape)
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    assert np.max(np.abs(q)) <= limit + 1e-6
+    assert np.max(np.abs(q)) > 0.9 * limit  # uniform fills its range
+    o = np.asarray(mha["out"]["kernel"], np.float32)
+    fan_in, fan_out = _keras_fans(o.shape)
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    assert np.max(np.abs(o)) <= limit + 1e-6
+    assert np.max(np.abs(o)) > 0.9 * limit

@@ -37,9 +37,14 @@ labels ``(B, 17, 6)`` with the -8 empty-slot convention
 (vision_transformer_utilities.py:497-505) and decoded predictions
 ``(B, 17, 6)`` from ops/decode.py — into protocol boxes. Note on areas:
 when evaluating from letterboxed label tensors, box areas are measured in
-the letterboxed frame; official COCO uses segmentation areas in the
-original frame. Pass explicit ``gt_areas`` (e.g. from the annotation
-dict's area column) to reproduce official small/medium/large buckets.
+the letterboxed frame; official COCO buckets by SEGMENTATION area in the
+original frame. The annotation dict's area column is bbox w*h (the
+reference's own convention, vtu.py:154-166), so even with explicit
+``gt_areas`` from the dict the small/medium/large buckets are
+bbox-area buckets — close to, but not bit-identical with, the official
+segmentation-area buckets (overall AP/AP50/AP75 ignore area and are
+unaffected). Only ``score_coco_results`` on a full COCO instances JSON
+(which carries the real ``area`` field) reproduces the official buckets.
 """
 
 from __future__ import annotations
@@ -179,13 +184,24 @@ class CocoEvalResults:
     def _maxdet_index(self, max_dets: int) -> int:
         return self.max_dets.index(max_dets)
 
+    def _iou_index(self, iou: float) -> int:
+        """Exact-membership lookup (isclose for linspace rounding): a
+        nearest-match would silently return AP@0.6 for a requested
+        AP50 when custom thresholds don't include 0.5."""
+        matches = np.nonzero(np.isclose(self.iou_thresholds, iou))[0]
+        if matches.size == 0:
+            raise ValueError(
+                f"iou={iou} is not one of the evaluated thresholds "
+                f"{[round(float(t), 4) for t in self.iou_thresholds]}")
+        return int(matches[0])
+
     def ap(self, iou: Optional[float] = None, area: str = "all",
            max_dets: int = 100) -> float:
         """Mean average precision; ``iou=None`` averages .50:.95."""
         p = self.precision[:, :, :, self._area_index(area),
                            self._maxdet_index(max_dets)]
         if iou is not None:
-            ti = int(np.argmin(np.abs(self.iou_thresholds - iou)))
+            ti = self._iou_index(iou)
             p = p[ti:ti + 1]
         valid = p[p > -1]
         return float(valid.mean()) if valid.size else -1.0
@@ -208,7 +224,7 @@ class CocoEvalResults:
             p = self.precision[:, :, ki, self._area_index(area),
                                self._maxdet_index(max_dets)]
             if iou is not None:
-                ti = int(np.argmin(np.abs(self.iou_thresholds - iou)))
+                ti = self._iou_index(iou)
                 p = p[ti:ti + 1]
             valid = p[p > -1]
             out[category] = float(valid.mean()) if valid.size else -1.0
@@ -217,17 +233,21 @@ class CocoEvalResults:
     def summarize(self) -> Dict[str, float]:
         """The 12 standard COCO summary metrics."""
         big = max(self.max_dets)
-        out = {
-            "AP": self.ap(max_dets=big),
-            "AP50": self.ap(iou=0.5, max_dets=big),
-            "AP75": self.ap(iou=0.75, max_dets=big),
+        out = {"AP": self.ap(max_dets=big)}
+        # AP50/AP75 only when that threshold was actually evaluated —
+        # custom iou_thresholds without 0.5/0.75 used to report a
+        # nearest neighbour under the standard name.
+        for name, t in (("AP50", 0.5), ("AP75", 0.75)):
+            if np.any(np.isclose(self.iou_thresholds, t)):
+                out[name] = self.ap(iou=t, max_dets=big)
+        out.update({
             "AP_small": self.ap(area="small", max_dets=big),
             "AP_medium": self.ap(area="medium", max_dets=big),
             "AP_large": self.ap(area="large", max_dets=big),
             "AR_small": self.ar(area="small", max_dets=big),
             "AR_medium": self.ar(area="medium", max_dets=big),
             "AR_large": self.ar(area="large", max_dets=big),
-        }
+        })
         for m in self.max_dets:
             out[f"AR@{m}"] = self.ar(max_dets=m)
         return out
@@ -453,6 +473,12 @@ def detections_from_decoded(decoded: np.ndarray,
     returning them (pycocotools convention is NO score threshold). Pass
     the reference thresholds (0.5/0.5, vtd.py:1378-1384) to score only
     what the reference would draw.
+
+    The ranking score is the framework's canonical detection score
+    objectness * class_confidence (ops/nms.py detection_scores): a
+    high-objectness slot whose class regression is ambiguous must not
+    outrank a confident detection of the same category in the greedy
+    match.
     """
     from .mean_average_precision import _class_confidence
 
@@ -468,7 +494,8 @@ def detections_from_decoded(decoded: np.ndarray,
     boxes = np.stack([rows[:, 2] - rows[:, 5] / 2.0,
                       rows[:, 3] - rows[:, 4] / 2.0,
                       rows[:, 5], rows[:, 4]], axis=-1)
-    return boxes, rows[:, 0], np.round(rows[:, 1]).astype(np.int64)
+    scores = rows[:, 0] * class_conf[keep]
+    return boxes, scores, np.round(rows[:, 1]).astype(np.int64)
 
 
 def update_from_fixed_slots(evaluator: CocoEvaluator, labels: np.ndarray,
@@ -523,10 +550,16 @@ def evaluate_coco_protocol_original_frame(
 
     Ground truth comes straight from the annotation dict
     (``{image_id: [[coco_cat, cx, cy, h, w, area], ...]}``, original
-    pixels — data/annotations.py), so areas are the REAL COCO areas and
-    the small/medium/large buckets match the official definition (the
-    letterboxed path measures areas in the resized frame). Detections
-    are inverse-letterboxed back to source pixels.
+    pixels — data/annotations.py), so areas are measured in the ORIGINAL
+    frame (the letterboxed path measures them in the resized frame). The
+    dict's area column is bbox w*h (the reference's convention,
+    vtu.py:154-166), NOT COCO's segmentation area, so the
+    small/medium/large buckets are original-frame *bbox-area* buckets —
+    a thin object with a large bbox can land one bucket up from the
+    official assignment; AP/AP50/AP75 ignore area and are unaffected.
+    Use ``score_coco_results`` against a full instances JSON for the
+    official segmentation-area buckets. Detections are
+    inverse-letterboxed back to source pixels.
 
     Divergence note: the reference's dict format does not record
     ``iscrowd`` (vision_transformer_utilities.py:139-152 keeps only
@@ -536,7 +569,7 @@ def evaluate_coco_protocol_original_frame(
     import jax.numpy as jnp
 
     from ..data.annotations import letterbox_params as lb_params
-    from ..data.categories import COCO_ID_TO_MODEL_ID
+    from ..data.categories import COCO_ID_TO_MODEL_ID, MODEL_ID_TO_COCO_ID
     from ..data.pipeline import (image_id_from_path, list_image_paths,
                                  load_and_letterbox_image)
     from ..train.trainer import make_eval_step
@@ -581,7 +614,6 @@ def evaluate_coco_protocol_original_frame(
             det_boxes[:, 2:] *= scale
 
             if dump_detections is not None:
-                from ..data.categories import MODEL_ID_TO_COCO_ID
                 img_id = image_id_from_path(path)
                 if str(img_id).isdigit():   # COCO ids are ints in results
                     img_id = int(img_id)

@@ -106,7 +106,10 @@ def _one_class_buffer(label_cat, label_boxes_sorted, label_count,
     def match_step(i, carry):
         boxes_avail, matched_conf, matched_iou, n_matched = carry
         lbox = label_boxes_sorted[i]
-        ious = iou(jnp.broadcast_to(lbox, (m, 4)), boxes_avail)
+        # One label box against every PREDICTION slot — broadcast to the
+        # prediction-side shape (the two slot counts may differ: the host
+        # twin accepts e.g. 10-slot labels with 17-slot predictions).
+        ious = iou(jnp.broadcast_to(lbox, boxes_avail.shape), boxes_avail)
         max_iou = jnp.max(ious)
         hit = (max_iou > 0.5) & label_valid[i] & (n_matched < nb)
         # The reference selects EVERY box whose IoU is isclose to the max,
@@ -224,10 +227,12 @@ def _update_one_image(state: MapState, one_label, one_pred,
         upd[:, None], shifted_counts, state.labels_quantity_per_image)
 
     # showed_up: label classes (cat >= 0) union positive pred classes
-    # (vtd.py:1343-1411).
+    # (vtd.py:1343-1411). The host oracle TRUNCATES label categories
+    # (categories_label[>= 0].astype(np.int32)), so a non-integral 2.4
+    # marks class 2 shown — match that, not isclose.
     shown_label = jax.vmap(
-        lambda cat: jnp.any(jnp.isclose(label_cat, cat)
-                            & (label_cat >= 0)))(categories)
+        lambda cat: jnp.any((label_cat >= 0)
+                            & (jnp.floor(label_cat) == cat)))(categories)
     shown_pred = jax.vmap(
         lambda cat: jnp.any(jnp.isclose(pred_cat, cat) & pred_positive)
     )(categories)

@@ -45,6 +45,18 @@ def _glorot_uniform(rng, shape, fan_in, fan_out, dtype):
     return jax.random.uniform(rng, shape, dtype, -limit, limit)
 
 
+def _keras_fans(shape):
+    """keras ``compute_fans`` semantics for arbitrary-rank kernels: every
+    leading dim is receptive field; fan_in = shape[-2] * receptive,
+    fan_out = shape[-1] * receptive. MultiHeadAttention's EinsumDense
+    kernels are rank-3, so plain (prod(in), prod(out)) fans would start
+    the attention projections ~2x wider than keras does."""
+    receptive = 1
+    for d in shape[:-2]:
+        receptive *= d
+    return shape[-2] * receptive, shape[-1] * receptive
+
+
 def _dense_init(rng, in_dim, out_dim, dtype):
     kernel = _glorot_uniform(rng, (in_dim, out_dim), in_dim, out_dim, dtype)
     return {"kernel": kernel, "bias": jnp.zeros((out_dim,), dtype)}
@@ -59,14 +71,13 @@ def _mha_init(rng, embed_dim, num_heads, key_dim, dtype):
     per-head q/k/v projections D->(H,K) and output projection (H,K)->D."""
     rngs = jax.random.split(rng, 4)
     def proj(r):
-        kernel = _glorot_uniform(
-            r, (embed_dim, num_heads, key_dim), embed_dim,
-            num_heads * key_dim, dtype)
+        shape = (embed_dim, num_heads, key_dim)
+        kernel = _glorot_uniform(r, shape, *_keras_fans(shape), dtype)
         return {"kernel": kernel,
                 "bias": jnp.zeros((num_heads, key_dim), dtype)}
+    out_shape = (num_heads, key_dim, embed_dim)
     out_kernel = _glorot_uniform(
-        rngs[3], (num_heads, key_dim, embed_dim), num_heads * key_dim,
-        embed_dim, dtype)
+        rngs[3], out_shape, *_keras_fans(out_shape), dtype)
     return {
         "query": proj(rngs[0]),
         "key": proj(rngs[1]),
@@ -95,8 +106,18 @@ def init_params(rng: jax.Array, config: DetectorConfig) -> Params:
 @functools.partial(jax.jit, static_argnums=(1,))
 def _init_params_jit(rng: jax.Array, config: DetectorConfig) -> Params:
     dtype = jnp.dtype(config.param_dtype)
-    keys = iter(jax.random.split(rng, 16 + 8 * config.encoder_blocks
-                                 + 4 * len(config.head_units)))
+    # Exact key budget — one per initialised tensor below, in consumption
+    # order. (An approximate over-estimate once under-counted deep-head
+    # configs and crashed with StopIteration inside jit; split(rng, n) is
+    # prefix-stable in n, so sizing exactly does not change any key.)
+    n_keys = (
+        2  # linear_projection + position_embedding
+        + config.encoder_blocks * (1 + len(config.encoder_mlp_units))
+        + (1 if config.head_scales == (1,) else len(config.head_scales))
+        + len(config.head_units) * config.head_block_repeats
+        + 1  # head_output
+    )
+    keys = iter(jax.random.split(rng, n_keys))
 
     params: Params = {}
 
@@ -577,10 +598,9 @@ def _multi_scale_head_tokens(x, layers, config: DetectorConfig,
     The token grid is average-pooled at each configured stride, projected
     to the slot axis per scale, and concatenated along the per-slot feature
     axis: coarse scales see large objects cheaply, the fine scale keeps
-    localisation detail. Output (B, max_objects, sum_s P_s). Strides that
-    do not divide the grid use VALID pooling (trailing rows/cols dropped at
-    that scale only), consistent with the floor-division param sizing in
-    init_params.
+    localisation detail. Output (B, max_objects, sum_s P_s). Every scale
+    must evenly divide the grid — _validate_grid_config rejects non-divisor
+    entries at init, so the VALID pooling below never drops cells.
     """
     b, _, d = x.shape
     gh, gw = config.grid_size
@@ -616,6 +636,15 @@ def _validate_grid_config(config: DetectorConfig) -> None:
     grid contributed zero cells)."""
     gh, gw = config.grid_size
     w = config.attention_window
+    if config.ring_attention and w is not None:
+        raise ValueError(
+            "ring_attention and attention_window are mutually exclusive: "
+            "with a mesh the ring path runs exact GLOBAL attention "
+            "(window ignored) while meshless calls would run WINDOWED "
+            "attention — the same weights would silently execute two "
+            "different architectures. Set attention_window=None for the "
+            "ring variant (see highres_1024_ring) or drop ring_attention "
+            "for the windowed one.")
     if w is not None and (w <= 0 or gh % w or gw % w):
         raise ValueError(
             f"attention_window={w} must evenly divide the patch grid "

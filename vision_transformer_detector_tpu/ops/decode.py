@@ -15,7 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..config import DetectorConfig
+from ..config import (CLASSIFICATION_CONFIDENCE_THRESHOLD, DetectorConfig,
+                      OBJECTNESS_THRESHOLD)
 
 
 def transform_predictions(inputs: jnp.ndarray,
@@ -60,9 +61,10 @@ def classification_confidence(classification: jnp.ndarray) -> jnp.ndarray:
     return (0.5 - error) / 0.5
 
 
-def select_detections(decoded: jnp.ndarray,
-                      objectness_threshold: float = 0.5,
-                      confidence_threshold: float = 0.5):
+def select_detections(
+        decoded: jnp.ndarray,
+        objectness_threshold: float = OBJECTNESS_THRESHOLD,
+        confidence_threshold: float = CLASSIFICATION_CONFIDENCE_THRESHOLD):
     """On-device threshold filter with the METRIC's positivity semantics.
 
     Returns ``(keep_mask, class_id, class_confidence)`` for the decoded

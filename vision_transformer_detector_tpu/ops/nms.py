@@ -27,8 +27,9 @@ def detection_scores(decoded: jnp.ndarray) -> jnp.ndarray:
     ``(..., max_objects, 6)`` predictions (thresholding semantics of the
     metric use both, vtd.py:1378-1384; the product is the serving-friendly
     scalar ranking)."""
-    return decoded[..., 0] * jnp.clip(
-        classification_confidence(decoded[..., 1]), 0.0, 1.0)
+    # classification_confidence is already in [0, 1] by construction
+    # (|v - round(v)| <= 0.5), so no clipping is needed.
+    return decoded[..., 0] * classification_confidence(decoded[..., 1])
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -674,6 +674,9 @@ def cmd_doctor(args) -> None:
     from .utils.runtime import probe_device
 
     report: dict = {}
+    if getattr(args, "build_native", False):
+        from . import _native
+        report["native_build"] = _native.build(force=True, verbose=True)
     # Shared hang-safe probe (utils/runtime.py, same one bench.py's CPU
     # fallback rides): the child prints a MARKED line because stdout may
     # also carry banners from sitecustomize platform registration on
@@ -1072,6 +1075,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--probe-timeout", type=float, default=120.0,
                    help="seconds before an unresponsive backend is "
                         "reported dead")
+    p.add_argument("--build-native", action="store_true",
+                   help="force a rebuild of the C++ extensions (clears "
+                        "a cached build failure, streams compiler "
+                        "output) before reporting")
     p.set_defaults(func=cmd_doctor)
 
     return parser

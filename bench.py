@@ -26,11 +26,18 @@ def main() -> None:
     # hung-tunnel failure mode (jax.devices() blocks forever, docs/
     # DESIGN.md failure mode 5) into "CPU-fallback run with a JSON
     # line". Imported before the parent touches its own backend — the
-    # package __init__ only loads config.
+    # package __init__ only loads config. Retrying with backoff since
+    # round 5: BENCH_r04 became a CPU smoke because ONE transient tunnel
+    # outage at capture time was enough to lose the round's TPU record.
+    # The probe-status line below makes any future fallback document
+    # itself (why it fell back, every attempt's error and timing).
     from vision_transformer_detector_tpu.utils.runtime import (
-        probe_accelerator)
+        probe_device_retrying)
 
-    probe_ok = probe_accelerator()
+    probe = probe_device_retrying(attempts=3, timeout_s=90.0,
+                                  backoff_s=30.0)
+    probe_ok = probe["ok"]
+    print(json.dumps({"probe": probe}), flush=True)
 
     import jax
 

@@ -29,6 +29,50 @@ def enable_compilation_cache(path: str = None) -> None:
         pass
 
 
+def probe_device_retrying(attempts: int = 3, timeout_s: float = 90.0,
+                          backoff_s: float = 20.0) -> dict:
+    """Retrying device probe with a self-documenting report.
+
+    Round-4 post-mortem: ``BENCH_r04.json`` recorded a CPU-fallback smoke
+    because the single-shot probe hit one transient tunnel outage at
+    capture time and the round's official perf record carried no TPU
+    number. This wrapper retries ``probe_device`` up to ``attempts``
+    times with linear backoff (``backoff_s``, ``2*backoff_s``, ...)
+    between tries, and returns a report that documents every attempt so
+    a fallback explains itself in the emitted artifact:
+
+    ``{"ok": bool, "platform": ..., "count": ..., "attempts": [
+       {"ok": ..., "error"/"platform": ..., "elapsed_s": ...}, ...],
+       "total_s": ...}``
+
+    Success short-circuits. ``JAX_PLATFORMS=cpu`` (explicit CPU ask)
+    returns immediately with one synthetic attempt, same as
+    ``probe_accelerator``.
+    """
+    import time
+
+    start = time.monotonic()
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return {"ok": False, "attempts": [
+            {"ok": False, "error": "JAX_PLATFORMS=cpu set; nothing to "
+                                   "probe", "elapsed_s": 0.0}],
+            "total_s": 0.0}
+    tries = []
+    for i in range(max(1, attempts)):
+        if i > 0:
+            time.sleep(backoff_s * i)
+        t0 = time.monotonic()
+        report = probe_device(timeout_s)
+        report["elapsed_s"] = round(time.monotonic() - t0, 1)
+        tries.append(report)
+        if report["ok"] and report.get("platform") != "cpu":
+            return {"ok": True, "platform": report["platform"],
+                    "count": report["count"], "attempts": tries,
+                    "total_s": round(time.monotonic() - start, 1)}
+    return {"ok": False, "attempts": tries,
+            "total_s": round(time.monotonic() - start, 1)}
+
+
 def probe_accelerator(timeout_s: float = 240.0) -> bool:
     """True iff the accelerator backend initializes AND computes in a
     subprocess within ``timeout_s``.

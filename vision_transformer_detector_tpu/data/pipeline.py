@@ -24,7 +24,7 @@ import queue
 import random
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -66,6 +66,23 @@ class CorruptImageError(ValueError):
                          f"{type(reason).__name__}: {reason}")
         self.path = path
         self.reason = reason
+
+    def __reduce__(self):
+        # Cross-process transport (pool='process' decode): ``reason``
+        # may hold an unpicklable third-party exception, and the
+        # two-argument __init__ breaks default exception pickling.
+        # Rebuild via a helper that preserves the formatted message
+        # exactly.
+        return (_rebuild_corrupt_error,
+                (self.path, type(self.reason).__name__, str(self.reason)))
+
+
+def _rebuild_corrupt_error(path: str, reason_type: str,
+                           reason_str: str) -> "CorruptImageError":
+    exc = CorruptImageError(path, ValueError(reason_str))
+    exc.args = (f"cannot decode image {path!r}: "
+                f"{reason_type}: {reason_str}",)
+    return exc
 
 
 def list_image_paths(image_dir: str,
@@ -246,6 +263,27 @@ def normalize_image(image_uint8: np.ndarray) -> np.ndarray:
     return image_uint8.astype(np.float32) / 127.5 - 1.0
 
 
+# --- process-pool decode workers (CocoDetectionDataset pool='process') ----
+# Heavy per-worker state (config + the full annotation dict) ships ONCE
+# per worker through the executor initializer, not per task: pickling it
+# on every submit would cost more than the decode.
+
+_PROC_STATE: dict = {}
+
+
+def _proc_init(config, annotations, normalize, fast_decode) -> None:
+    _PROC_STATE["args"] = (config, annotations, normalize, fast_decode)
+
+
+def _proc_load(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    config, annotations, normalize, fast_decode = _PROC_STATE["args"]
+    image, original_size = load_and_letterbox_image(
+        path, config, normalize=normalize, fast_decode=fast_decode)
+    labels = labels_from_annotations(
+        annotations.get(image_id_from_path(path)), original_size, config)
+    return image, labels
+
+
 class CocoDetectionDataset:
     """Batched, prefetched (image, label) stream.
 
@@ -266,10 +304,14 @@ class CocoDetectionDataset:
                  prefetch: int = 2,
                  normalize: bool = True,
                  on_corrupt: str = "raise",
-                 fast_decode: bool = False):
+                 fast_decode: bool = False,
+                 pool: str = "thread"):
         if on_corrupt not in ("raise", "skip"):
             raise ValueError(
                 f"on_corrupt must be 'raise' or 'skip', got {on_corrupt!r}")
+        if pool not in ("thread", "process"):
+            raise ValueError(
+                f"pool must be 'thread' or 'process', got {pool!r}")
         self.image_paths = list(image_paths)[shard_index::num_shards]
         self.annotations = annotations
         self.config = config
@@ -291,6 +333,8 @@ class CocoDetectionDataset:
         # load_and_letterbox_image): geometry-exact, pixel-approximate,
         # ~2-3x host decode for canvases much smaller than the sources.
         self.fast_decode = fast_decode
+        # Decode worker pool type — see _make_executor.
+        self.pool = pool
         self.skipped_paths: List[str] = []
 
     def __len__(self) -> int:
@@ -311,37 +355,52 @@ class CocoDetectionDataset:
             image_annotations, original_size, self.config)
         return image, labels
 
-    def _load_or_none(self, path: str
-                      ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-        try:
-            return self._load_one(path)
-        except CorruptImageError as exc:
-            # Dedup across epochs: Trainer.fit re-iterates the dataset
-            # every epoch, so the same corrupt file skips again each
-            # time — the report (and the "(%d so far)" counter) should
-            # list each UNIQUE bad file once, not once per epoch.
-            if path not in self.skipped_paths:
-                self.skipped_paths.append(path)
-            logging.getLogger(__name__).warning(
-                "skipping corrupt image (%d unique so far): %s",
-                len(self.skipped_paths), exc)
-            return None
+    def _make_executor(self):
+        """(executor, task) for the configured decode pool.
+
+        ``pool='thread'`` (default): the native libjpeg core releases
+        the GIL, so threads scale on most hosts with zero start-up or
+        pickling cost. ``pool='process'``: full process isolation for
+        GIL-hostile hosts (PIL-fallback decode, Python-heavy label
+        transforms) — the reference's own stats tool made the same
+        thread->process escalation (coco_statistics.py:213-218).
+        Workers are started via *forkserver*, never a plain fork: by
+        decode time the parent usually owns a live JAX runtime with
+        background threads, and forking that can deadlock the child.
+        """
+        if self.pool == "process":
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            ctx = mp.get_context("forkserver")
+            ex = ProcessPoolExecutor(
+                max_workers=self.num_workers, mp_context=ctx,
+                initializer=_proc_init,
+                initargs=(self.config, self.annotations, self.normalize,
+                          self.fast_decode))
+            return ex, _proc_load
+        return (ThreadPoolExecutor(max_workers=self.num_workers),
+                self._load_one)
 
     def _batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         paths = self.image_paths
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        pool, task = self._make_executor()
+        try:
             if self.on_corrupt == "raise":
                 for b in range(len(self)):
                     chunk = paths[b * self.batch_size:
                                   (b + 1) * self.batch_size]
-                    pairs = list(pool.map(self._load_one, chunk))
+                    pairs = list(pool.map(task, chunk))
                     images = np.stack([p[0] for p in pairs])
                     labels = np.stack([p[1] for p in pairs])
                     yield images, labels
                 return
             # 'skip': stream decode results in order, dropping failures
             # and backfilling so each batch is full. The final partial
-            # batch obeys drop_remainder like the no-skip path.
+            # batch obeys drop_remainder like the no-skip path. Corrupt
+            # files are caught at .result() time, identically for both
+            # pool types (CorruptImageError pickles back from a process
+            # worker via its __reduce__).
             #
             # Futures are submitted through a BOUNDED sliding window, not
             # one pool.map over the whole path list: Executor.map creates
@@ -349,7 +408,7 @@ class CocoDetectionDataset:
             # of the consumer without backpressure (a 608px corpus fills
             # host RAM in seconds when the train step is the slow side),
             # and abandoning the iterator would block in the executor's
-            # __exit__ until the ENTIRE corpus had been decoded.
+            # shutdown until the ENTIRE corpus had been decoded.
             from collections import deque
 
             window = max(self.batch_size * 2, self.num_workers * 4)
@@ -358,11 +417,22 @@ class CocoDetectionDataset:
             pending: List[Tuple[np.ndarray, np.ndarray]] = []
             while inflight or next_idx < len(paths):
                 while len(inflight) < window and next_idx < len(paths):
-                    inflight.append(
-                        pool.submit(self._load_or_none, paths[next_idx]))
+                    inflight.append((paths[next_idx],
+                                     pool.submit(task, paths[next_idx])))
                     next_idx += 1
-                pair = inflight.popleft().result()
-                if pair is None:
+                path, future = inflight.popleft()
+                try:
+                    pair = future.result()
+                except CorruptImageError as exc:
+                    # Dedup across epochs: Trainer.fit re-iterates the
+                    # dataset every epoch, so the same corrupt file skips
+                    # again each time — the report (and the "(%d so far)"
+                    # counter) should list each UNIQUE bad file once.
+                    if path not in self.skipped_paths:
+                        self.skipped_paths.append(path)
+                    logging.getLogger(__name__).warning(
+                        "skipping corrupt image (%d unique so far): %s",
+                        len(self.skipped_paths), exc)
                     continue
                 pending.append(pair)
                 if len(pending) == self.batch_size:
@@ -372,59 +442,73 @@ class CocoDetectionDataset:
             if pending and not self.drop_remainder:
                 yield (np.stack([p[0] for p in pending]),
                        np.stack([p[1] for p in pending]))
+        finally:
+            pool.shutdown(wait=True)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Iterate with a background prefetch thread (bounded queue), the
-        host-side half of the host+device prefetch pipeline.
+        host-side half of the host+device prefetch pipeline."""
+        return prefetch_iter(self._batches(), self.prefetch)
 
-        Abandoning the iterator early (break / exception / zip) must not
-        leak the producer: the bounded q.put would block forever with no
-        consumer, pinning the thread, its worker pool, and the buffered
-        batches (round-3 review finding) — so every put is stoppable and
-        the generator's close path signals + drains.
-        """
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        stop = threading.Event()
-        error: List[BaseException] = []
 
-        def stoppable_put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+def prefetch_iter(batches: Iterable, depth: int = 2) -> Iterator:
+    """Consume ``batches`` on a background thread through a bounded
+    queue of ``depth`` — host work (decode/letterbox) overlaps whatever
+    the consumer blocks on (typically the device step's tunnel
+    round-trip). The host half of the host+device prefetch pipeline;
+    also wraps the standalone protocol-eval loop (round-4 verdict #5:
+    the 4,952-image run spent ~65% of wall on un-overlapped tunnel
+    latency).
 
-        def producer():
+    Abandoning the iterator early (break / exception / zip) must not
+    leak the producer: the bounded q.put would block forever with no
+    consumer, pinning the thread, its worker pool, and the buffered
+    batches (round-3 review finding) — so every put is stoppable and
+    the generator's close path signals + drains. Producer exceptions
+    re-raise on the consumer side.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    stop = threading.Event()
+    error: List[BaseException] = []
+
+    def stoppable_put(item) -> bool:
+        while not stop.is_set():
             try:
-                for batch in self._batches():
-                    if not stoppable_put(batch):
-                        return
-            except BaseException as exc:  # surfaced on the consumer side
-                error.append(exc)
-            finally:
-                stoppable_put(sentinel)
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
+    def producer():
         try:
-            while True:
-                item = q.get()
-                if item is sentinel:
-                    if error:
-                        raise error[0]
+            for batch in batches:
+                if not stoppable_put(batch):
                     return
-                yield item
+        except BaseException as exc:  # surfaced on the consumer side
+            error.append(exc)
         finally:
-            stop.set()
-            while True:   # unblock a producer mid-put
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
-            thread.join(timeout=5)
+            stoppable_put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:   # unblock a producer mid-put
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=5)
 
 
 class ResumableDataset:

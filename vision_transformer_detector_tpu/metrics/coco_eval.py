@@ -185,10 +185,13 @@ class CocoEvalResults:
         return self.max_dets.index(max_dets)
 
     def _iou_index(self, iou: float) -> int:
-        """Exact-membership lookup (isclose for linspace rounding): a
-        nearest-match would silently return AP@0.6 for a requested
-        AP50 when custom thresholds don't include 0.5."""
-        matches = np.nonzero(np.isclose(self.iou_thresholds, iou))[0]
+        """Exact-membership lookup (tight absolute tolerance absorbs
+        linspace rounding only): a nearest-match would silently return
+        AP@0.6 for a requested AP50 when custom thresholds don't include
+        0.5, and isclose's default rtol=1e-5 could make two deliberately
+        close user thresholds both answer one query (round-4 advisor)."""
+        matches = np.nonzero(
+            np.abs(np.asarray(self.iou_thresholds) - iou) < 1e-6)[0]
         if matches.size == 0:
             raise ValueError(
                 f"iou={iou} is not one of the evaluated thresholds "
@@ -234,12 +237,16 @@ class CocoEvalResults:
         """The 12 standard COCO summary metrics."""
         big = max(self.max_dets)
         out = {"AP": self.ap(max_dets=big)}
-        # AP50/AP75 only when that threshold was actually evaluated —
-        # custom iou_thresholds without 0.5/0.75 used to report a
-        # nearest neighbour under the standard name.
+        # AP50/AP75 carry a real value only when that threshold was
+        # actually evaluated — custom iou_thresholds without 0.5/0.75
+        # used to report a nearest neighbour under the standard name.
+        # The keys are always present (None/JSON-null when unevaluated)
+        # so external consumers of the CLI's JSON see a stable schema
+        # (round-4 advisor).
         for name, t in (("AP50", 0.5), ("AP75", 0.75)):
-            if np.any(np.isclose(self.iou_thresholds, t)):
-                out[name] = self.ap(iou=t, max_dets=big)
+            evaluated = np.any(
+                np.abs(np.asarray(self.iou_thresholds) - t) < 1e-6)
+            out[name] = self.ap(iou=t, max_dets=big) if evaluated else None
         out.update({
             "AP_small": self.ap(area="small", max_dets=big),
             "AP_medium": self.ap(area="medium", max_dets=big),
@@ -539,7 +546,8 @@ def evaluate_coco_protocol_original_frame(
         images_range=None,
         dump_detections: Optional[str] = None,
         per_category: bool = False,
-        fast_decode: bool = False) -> Dict[str, float]:
+        fast_decode: bool = False,
+        prefetch: int = 2) -> Dict[str, float]:
     """Official protocol in ORIGINAL image coordinates.
 
     ``dump_detections`` additionally writes every detection (pre-eval,
@@ -596,12 +604,24 @@ def evaluate_coco_protocol_original_frame(
         dump_tmp = dump_detections + ".tmp"
         open(dump_tmp, "w").close()
     mh, mw = config.image_size
-    for start in range(0, len(paths), batch_size):
-        chunk = paths[start:start + batch_size]
-        canvases, sizes = zip(*(load_and_letterbox_image(
-            p, config, fast_decode=fast_decode) for p in chunk))
-        decoded = np.asarray(eval_step(
-            params, jnp.asarray(np.stack(canvases))))
+
+    def _load_batches():
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start:start + batch_size]
+            canvases, sizes = zip(*(load_and_letterbox_image(
+                p, config, fast_decode=fast_decode) for p in chunk))
+            yield chunk, np.stack(canvases), sizes
+
+    batches = _load_batches()
+    if prefetch:
+        # Background-thread decode overlapping the device step's tunnel
+        # round-trip (round-4 measured ~65% of the 4,952-image wall as
+        # un-overlapped latency). prefetch=0 opts out for callers that
+        # share their process with a training loop.
+        from ..data.pipeline import prefetch_iter
+        batches = prefetch_iter(batches, depth=prefetch)
+    for chunk, canvases, sizes in batches:
+        decoded = np.asarray(eval_step(params, jnp.asarray(canvases)))
         for i, path in enumerate(chunk):
             det_boxes, det_scores, det_categories = \
                 detections_from_decoded(decoded[i], objectness_threshold,

@@ -607,3 +607,72 @@ def test_skip_mode_survives_decompression_bomb_and_dedups(tmp_path):
         batches = list(ds)
         assert len(batches) == 1  # bomb dropped, good image survives
     assert ds.skipped_paths == [str(bomb)]  # deduped across epochs
+
+
+# ---------------------------------------------------------------------------
+# Process-pool decode (round-5 verdict #8): full process isolation for
+# GIL-hostile hosts, same semantics as the default thread pool.
+
+
+def test_process_pool_matches_thread_pool(tmp_path):
+    """pool='process' yields bit-identical batches to the thread pool
+    (forkserver workers; per-worker state ships via the initializer)."""
+    paths = _corrupt_fixture(tmp_path, set(), n=6)
+    annotations = {f"{i:012d}".lstrip("0") or "0":
+                   [[1, 16.0, 16.0, 8.0, 8.0, 64.0]] for i in range(6)}
+    cfg = DetectorConfig(image_size=(32, 32))
+    ds_t = CocoDetectionDataset(paths, annotations, cfg, batch_size=3,
+                                num_workers=2)
+    ds_p = CocoDetectionDataset(paths, annotations, cfg, batch_size=3,
+                                num_workers=2, pool="process")
+    batches_t, batches_p = list(ds_t), list(ds_p)
+    assert len(batches_t) == len(batches_p) == 2
+    for (ti, tl), (pi, pl) in zip(batches_t, batches_p):
+        np.testing.assert_array_equal(ti, pi)
+        np.testing.assert_array_equal(tl, pl)
+
+
+def test_process_pool_corrupt_semantics(tmp_path):
+    """CorruptImageError crosses the process boundary intact (its
+    __reduce__): raise mode surfaces it with the path, skip mode counts
+    and backfills exactly like the thread pool."""
+    from vision_transformer_detector_tpu.data.pipeline import (
+        CorruptImageError)
+
+    paths = _corrupt_fixture(tmp_path, {1}, n=5)  # 4 good files
+    cfg = DetectorConfig(image_size=(32, 32))
+    ds = CocoDetectionDataset(paths, {}, cfg, batch_size=2,
+                              on_corrupt="skip", num_workers=2,
+                              pool="process")
+    batches = list(ds)
+    assert sum(b[0].shape[0] for b in batches) == 4
+    assert ds.skipped_paths == [paths[1]]
+
+    ds_raise = CocoDetectionDataset(paths, {}, cfg, batch_size=2,
+                                    num_workers=1, pool="process")
+    with pytest.raises(CorruptImageError) as err:
+        list(ds_raise)
+    assert paths[1] in str(err.value)
+
+
+def test_pool_validation():
+    cfg = DetectorConfig(image_size=(32, 32))
+    with pytest.raises(ValueError, match="pool"):
+        CocoDetectionDataset([], {}, cfg, pool="greenlet")
+
+
+def test_labels_reject_non_integral_categories():
+    """Corrupt (non-integral) category ids fail loudly at the pipeline
+    boundary instead of silently truncating here while deflating that
+    class's AP in the metric (round-4 advisor)."""
+    from vision_transformer_detector_tpu.data.annotations import (
+        labels_from_annotations)
+
+    cfg = DetectorConfig(image_size=(32, 32))
+    with pytest.raises(ValueError, match="non-integral category"):
+        labels_from_annotations([[2.4, 16.0, 16.0, 8.0, 8.0, 64.0]],
+                                (32, 32), cfg)
+    # Integral floats are the normal JSON-parsed representation: fine.
+    labels = labels_from_annotations([[2.0, 16.0, 16.0, 8.0, 8.0, 64.0]],
+                                     (32, 32), cfg)
+    assert labels[0, 0] == 1.0

@@ -46,14 +46,15 @@ DEFAULT_ANNOTATIONS = "/root/reference/val_annotations_dict.json"
 FAST_DECODE = False  # set by --fast-decode: DCT-domain reduced-scale JPEG
 
 
-def _dataset(paths, annotations, config, batch_size, num_workers):
+def _dataset(paths, annotations, config, batch_size, num_workers,
+             pool="thread"):
     from vision_transformer_detector_tpu.data.pipeline import (
         CocoDetectionDataset)
     return CocoDetectionDataset(
         paths, annotations, config, batch_size=batch_size,
         drop_remainder=True, num_workers=num_workers, prefetch=4,
         normalize=False,  # uint8 ships 4x less host->device traffic
-        fast_decode=FAST_DECODE)
+        fast_decode=FAST_DECODE, pool=pool)
 
 
 def _host_roofline(paths, annotations, config, batch_size, num_workers):
@@ -64,6 +65,36 @@ def _host_roofline(paths, annotations, config, batch_size, num_workers):
     for images, labels in ds:
         n += images.shape[0]
     return n / (time.perf_counter() - tic), n
+
+
+def sweep_workers(paths, annotations, config_name, batch_size,
+                  worker_counts, pools=("thread", "process")):
+    """Host-decode roofline vs worker count and pool type — the measured
+    answer to "does decode scale with cores?" (round-4 verdict #8: the
+    claim was extrapolated from 1-worker runs on a 1-core host; this
+    emits the actual curve for whatever host it runs on). Device never
+    touched, so the sweep isolates the host stage.
+    """
+    from vision_transformer_detector_tpu.config import get_config
+
+    config = get_config(config_name)
+    rows = []
+    for pool in pools:
+        for w in worker_counts:
+            ds = _dataset(paths, annotations, config, batch_size, w,
+                          pool=pool)
+            n = 0
+            tic = time.perf_counter()
+            for images, _labels in ds:
+                n += images.shape[0]
+            img_s = n / (time.perf_counter() - tic)
+            row = {"sweep": "host_decode", "preset": config_name,
+                   "pool": pool, "num_workers": w, "images": n,
+                   "host_decode_img_s": round(img_s, 1),
+                   "host_cores": os.cpu_count()}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    return rows
 
 
 def _roundtrip_s() -> float:
@@ -316,7 +347,13 @@ def main() -> None:
     parser.add_argument("--images", type=int, default=512,
                         help="corpus slice per scenario (default 512)")
     parser.add_argument("--scenario", default="all",
-                        choices=("all", "train608", "infer640", "serve224"))
+                        choices=("all", "train608", "infer640", "serve224",
+                                 "sweep-workers"))
+    parser.add_argument("--sweep-counts", default="1,2,4,8",
+                        help="comma-separated worker counts for "
+                             "--scenario sweep-workers")
+    parser.add_argument("--sweep-preset", default="reference_608",
+                        help="config preset for the worker sweep")
     parser.add_argument("--workers", type=int,
                         default=max(2, (os.cpu_count() or 1)))
     parser.add_argument("--fast-decode", action="store_true",
@@ -339,6 +376,15 @@ def main() -> None:
                          "tools/make_corpus.py first")
 
     rows = []
+    if args.scenario == "sweep-workers":
+        counts = [int(c) for c in args.sweep_counts.split(",")]
+        rows = sweep_workers(paths, annotations, args.sweep_preset,
+                             batch_size=8, worker_counts=counts)
+        print(json.dumps({"summary": rows, "host_cores": os.cpu_count(),
+                          "corpus": args.corpus,
+                          "images_per_scenario": args.images,
+                          "fast_decode": args.fast_decode}))
+        return
     if args.scenario in ("all", "train608"):
         rows.append(bench_train(paths, annotations, "reference_608",
                                 batch_size=8, num_workers=args.workers))

@@ -159,7 +159,8 @@ def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
     return CocoDetectionDataset(
         paths, annotations, config, batch_size=batch_size,
         drop_remainder=drop_remainder, on_corrupt=on_corrupt,
-        fast_decode=getattr(args, "fast_decode", False), **shard)
+        fast_decode=getattr(args, "fast_decode", False),
+        pool=getattr(args, "decode_pool", "thread"), **shard)
 
 
 def _maybe_mesh(args):
@@ -861,6 +862,12 @@ def build_parser() -> argparse.ArgumentParser:
                             "pixel values differ by <=3/255 vs the "
                             "exact path (no-op when no scaling "
                             "engages, e.g. 608px on COCO-sized files)")
+        p.add_argument("--decode-pool", choices=("thread", "process"),
+                       default="thread",
+                       help="decode worker pool: 'thread' (default; the "
+                            "native libjpeg core releases the GIL) or "
+                            "'process' for GIL-hostile hosts (PIL "
+                            "fallback, Python-heavy label work)")
         if needs_train:
             p.add_argument("--train-images", required=True)
             p.add_argument("--train-annotations", required=True)

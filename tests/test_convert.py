@@ -28,6 +28,19 @@ CFG = DetectorConfig(
     key_dim=5, encoder_blocks=2, encoder_mlp_layers=2, head_last_units=8,
     head_layers=2)
 
+# Every axis of the reference factory signature the converter must cover
+# (create_vision_transformer_detector, vtd.py:498-506): dropout-active
+# (keras Dropout layers own no weights, so the mapping is unchanged),
+# deep head blocks (head_block_repeats > 1 multiplies the anonymous
+# dense pyramid), and a non-square non-608 input (changes num_patches,
+# the position embedding, and the head token width).
+CFG_VARIANTS = {
+    "base": CFG,
+    "dropout": CFG.replace(dropout=0.1),
+    "deep_head": CFG.replace(head_block_repeats=2),
+    "nonsquare": CFG.replace(image_size=(68, 85)),
+}
+
 
 def _write_fake_keras(path, cfg, glorot: bool = False) -> dict:
     """Create model.weights.h5 inside a .keras-style zip with reference
@@ -117,12 +130,14 @@ def test_natural_key_ordering():
         "dense/kernel", "dense_2/kernel", "dense_10/kernel"]
 
 
-def test_convert_roundtrip(tmp_path):
-    fake = _write_fake_keras(tmp_path, CFG)
+@pytest.mark.parametrize("variant", sorted(CFG_VARIANTS))
+def test_convert_roundtrip(tmp_path, variant):
+    cfg = CFG_VARIANTS[variant]
+    fake = _write_fake_keras(tmp_path, cfg)
     weights = read_keras_weights(fake["path"])
     assert len(weights) == len(fake["entries"])
 
-    params = convert(weights, CFG)
+    params = convert(weights, cfg)
     root = fake["root"]
     np.testing.assert_array_equal(
         params["linear_projection"]["kernel"],
@@ -154,14 +169,43 @@ def test_convert_roundtrip(tmp_path):
         fake["entries"][f"{root}/MLP_Head_no_Sigmoid/kernel:0"])
 
 
-def test_converted_params_run(tmp_path):
+@pytest.mark.parametrize("variant", sorted(CFG_VARIANTS))
+def test_converted_params_run(tmp_path, variant):
     import jax.numpy as jnp
 
     from vision_transformer_detector_tpu.models.vit_detector import forward
 
-    fake = _write_fake_keras(tmp_path, CFG)
-    params = convert(read_keras_weights(fake["path"]), CFG)
+    cfg = CFG_VARIANTS[variant]
+    fake = _write_fake_keras(tmp_path, cfg)
+    params = convert(read_keras_weights(fake["path"]), cfg)
     params = jax.tree_util.tree_map(jnp.asarray, params)
-    logits = forward(params, jnp.zeros((1, 68, 68, 3)), CFG)
-    assert logits.shape == (1, CFG.max_objects, 6)
+    h, w = cfg.image_size
+    logits = forward(params, jnp.zeros((1, h, w, 3)), cfg)
+    assert logits.shape == (1, cfg.max_objects, 6)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_multiscale_head_cleanly_rejected(tmp_path):
+    """The multi-scale head is a framework extension with no TF layer
+    counterpart; the converter must refuse with an actionable message,
+    not die needle-by-needle mid-mapping."""
+    fake = _write_fake_keras(tmp_path, CFG)
+    weights = read_keras_weights(fake["path"])
+    with pytest.raises(ValueError, match="head_scales"):
+        convert(weights, CFG.replace(head_scales=(1, 2)))
+
+
+def test_deep_head_maps_every_repeat(tmp_path):
+    """head_block_repeats=2 doubles the anonymous dense pyramid; the
+    natural-sort mapping must land dense_{k} on head_mlp[k-1] past the
+    lexicographic _9/_10 boundary too."""
+    cfg = CFG.replace(head_block_repeats=2)
+    fake = _write_fake_keras(tmp_path, cfg)
+    params = convert(read_keras_weights(fake["path"]), cfg)
+    root = fake["root"]
+    n = len(params["head_mlp"])
+    assert n == cfg.head_layers * 2
+    for k in range(n):
+        np.testing.assert_array_equal(
+            params["head_mlp"][k]["kernel"],
+            fake["entries"][f"{root}/dense_{k + 1}/kernel:0"])

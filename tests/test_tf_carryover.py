@@ -37,6 +37,18 @@ GOLDEN_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "golden",
     "tf_carryover_logits_608.npz")
 
+# Second anchor at a deliberately non-default config (round-5 verdict #7):
+# non-square input (8x9 patch grid), deeper encoder, head_block_repeats=2
+# (doubled anonymous dense pyramid) and dropout present in the config
+# (inference forward must ignore it). Small enough to run in the fast tier.
+VARIANT_CFG = DetectorConfig(
+    image_size=(136, 153), patch_size=17, embedding_dim=16, num_heads=2,
+    key_dim=8, encoder_blocks=3, encoder_mlp_layers=2, head_last_units=16,
+    head_layers=2, head_block_repeats=2, dropout=0.1)
+VARIANT_GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "golden",
+    "tf_carryover_logits_variant.npz")
+
 
 def _fixed_images(cfg, batch: int = 1) -> jnp.ndarray:
     h, w = cfg.image_size
@@ -45,12 +57,17 @@ def _fixed_images(cfg, batch: int = 1) -> jnp.ndarray:
         rng.uniform(-1.0, 1.0, (batch, h, w, 3)).astype(np.float32))
 
 
-def carryover_logits(tmp_dir: str) -> np.ndarray:
-    """convert -> save npz -> load npz -> forward, at reference 608."""
-    cfg = DetectorConfig()  # the full measured reference config
+def carryover_logits(tmp_dir: str, cfg: DetectorConfig = None) -> np.ndarray:
+    """convert -> save npz -> load npz -> forward (reference 608 default)."""
+    if cfg is None:
+        cfg = DetectorConfig()  # the full measured reference config
+        full = True
+    else:
+        full = False
     fake = _write_fake_keras(tmp_dir, cfg, glorot=True)
     params = convert(read_keras_weights(fake["path"]), cfg)
-    assert count_params(params) > 100_000_000  # genuinely the full model
+    if full:
+        assert count_params(params) > 100_000_000  # genuinely the full model
 
     npz_path = os.path.join(str(tmp_dir), "converted.npz")
     save_params_npz(npz_path, params)
@@ -74,14 +91,29 @@ def test_full_reference_config_carryover_golden(tmp_path):
                                        "the committed golden")
 
 
+def test_variant_config_carryover_golden(tmp_path):
+    """Same carry-over chain at the non-default VARIANT_CFG — anchors the
+    converter on the signature axes the 608 run cannot exercise
+    (non-square grid, head_block_repeats=2, dropout in config)."""
+    logits = carryover_logits(tmp_path, VARIANT_CFG)
+    assert logits.shape == (1, VARIANT_CFG.max_objects, 6)
+    assert np.isfinite(logits).all()
+    golden = np.load(VARIANT_GOLDEN_PATH)["logits"]
+    np.testing.assert_allclose(logits, golden, atol=1e-5,
+                               err_msg="variant carry-over forward "
+                                       "drifted from the committed golden")
+
+
 if __name__ == "__main__":
-    # Regenerate the golden (run from tests/ after an INTENTIONAL change):
+    # Regenerate the goldens (run from tests/ after an INTENTIONAL change):
     #   python test_tf_carryover.py
     import tempfile
 
-    with tempfile.TemporaryDirectory() as td:
-        from pathlib import Path
-        logits = carryover_logits(Path(td))
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
-    np.savez(GOLDEN_PATH, logits=logits)
-    print("golden written:", GOLDEN_PATH, logits.reshape(-1)[:6])
+    for path, cfg in ((GOLDEN_PATH, None),
+                      (VARIANT_GOLDEN_PATH, VARIANT_CFG)):
+        with tempfile.TemporaryDirectory() as td:
+            from pathlib import Path
+            logits = carryover_logits(Path(td), cfg)
+        np.savez(path, logits=logits)
+        print("golden written:", path, logits.reshape(-1)[:6])

@@ -95,6 +95,19 @@ def convert(weights: Dict[str, np.ndarray], config) -> dict:
         init_params)
     import jax
 
+    if getattr(config, "head_scales", (1,)) != (1,):
+        # The multi-scale head (one token-dense per pooling scale) is an
+        # extension of this framework; the reference architecture
+        # (vision_transformer_detector.py:417-495) has exactly one token
+        # dense, so no TF checkpoint can carry multi-scale weights. Fail
+        # before any needle matching with an actionable message instead
+        # of a KeyError mid-mapping.
+        raise ValueError(
+            f"config.head_scales={config.head_scales}: the multi-scale "
+            "detection head has no TF/Keras counterpart to convert from; "
+            "convert with head_scales=(1,) (the reference architecture) "
+            "or train the multi-scale head from scratch")
+
     if weights and not any("kernel" in k for k in weights):
         sample = sorted(weights)[:5]
         raise ValueError(

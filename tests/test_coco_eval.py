@@ -817,8 +817,9 @@ def test_detections_from_decoded_ranks_by_combined_score():
 def test_ap_rejects_unevaluated_iou_threshold():
     """ap()/per_category() do exact threshold lookup: asking for AP@0.5
     from an evaluator run at custom thresholds must raise, not silently
-    return the nearest threshold's AP; summarize() omits AP50/AP75 when
-    those points were not evaluated."""
+    return the nearest threshold's AP; summarize() reports AP50/AP75 as
+    None (JSON null; stable key set for external consumers) when those
+    points were not evaluated."""
     ev = CocoEvaluator(iou_thresholds=[0.6, 0.7])
     ev.add_image(gt_boxes=[[0, 0, 10, 10]], gt_categories=[1],
                  det_boxes=[[0, 0, 10, 10]], det_scores=[0.9],
@@ -830,7 +831,7 @@ def test_ap_rejects_unevaluated_iou_threshold():
     with pytest.raises(ValueError, match="not one of the evaluated"):
         results.per_category(iou=0.75)
     s = results.summarize()
-    assert "AP50" not in s and "AP75" not in s
+    assert s["AP50"] is None and s["AP75"] is None
     assert s["AP"] == pytest.approx(1.0)
 
     # Default thresholds keep the standard keys and exact lookup.

@@ -4,6 +4,7 @@ windowed attention, head reshape semantics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vision_transformer_detector_tpu.config import DetectorConfig
 from vision_transformer_detector_tpu.models.vit_detector import (
@@ -152,6 +153,7 @@ def test_dropout_only_active_in_training():
     assert not np.allclose(np.asarray(train_1), np.asarray(train_2))
 
 
+@pytest.mark.slow
 def test_attention_dropout_each_mode():
     """keras MHA dropout is honoured (not silently dropped) on every
     attention path (vtd.py:364-369): einsum, flash (falls back to the exact
@@ -533,6 +535,7 @@ def test_ring_and_window_mutually_exclusive():
         init_params(jax.random.PRNGKey(0), bad)
 
 
+@pytest.mark.slow
 def test_init_rng_budget_deep_configs():
     """init_params sizes its rng key pool exactly; deep-head / deep-MLP
     configs that exhausted the old approximate budget (StopIteration
@@ -577,3 +580,25 @@ def test_mha_init_matches_keras_fans():
     limit = math.sqrt(6.0 / (fan_in + fan_out))
     assert np.max(np.abs(o)) <= limit + 1e-6
     assert np.max(np.abs(o)) > 0.9 * limit
+
+
+def test_split_prefix_stability_and_init_checksum():
+    """init_params sizes its key pool exactly and the docstring asserts
+    split(rng, n) is prefix-stable in n (vit_detector.py:108-114); pin
+    both so a future JAX PRNG-default change (threefry -> rbg /
+    partitionable) fails here loudly instead of silently changing
+    fresh-init reproducibility for existing seeds (round-4 advisor)."""
+    k = jax.random.PRNGKey(123)
+    short = jax.random.key_data(jax.random.split(k, 5))
+    long = jax.random.key_data(jax.random.split(k, 9))
+    np.testing.assert_array_equal(np.asarray(short), np.asarray(long[:5]))
+
+    cfg = DetectorConfig(image_size=(68, 68), patch_size=17,
+                         embedding_dim=12, num_heads=2, key_dim=5,
+                         encoder_blocks=2, encoder_mlp_layers=2,
+                         head_last_units=8, head_layers=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    leaves = jax.tree_util.tree_leaves(params)
+    checksum = float(sum(np.float64(np.asarray(l)).sum() for l in leaves))
+    assert len(leaves) == 43
+    np.testing.assert_allclose(checksum, 40.134562349549924, rtol=1e-6)

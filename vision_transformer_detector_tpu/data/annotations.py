@@ -296,6 +296,17 @@ def labels_from_annotations(
 
     rows = np.asarray(
         [a[:5] for a in image_annotations], np.float32)  # (N, 5)
+    if not np.all(rows[:, 0] == np.round(rows[:, 0])):
+        # Loud failure at the data boundary (round-4 advisor): a
+        # non-integral category would otherwise truncate silently here,
+        # while a raw float category reaching the metric deflates that
+        # class's AP without erroring (fast_map matches categories by
+        # exact value but floors them for the shown-class set).
+        bad = rows[rows[:, 0] != np.round(rows[:, 0]), 0][:3]
+        raise ValueError(
+            f"non-integral category ids in annotations: {bad.tolist()} "
+            "— the annotation source is corrupt (COCO category ids are "
+            "integers)")
     coco_ids = rows[:, 0].astype(np.int64)
     model_ids = np.asarray(
         [coco_id_to_model_id.get(int(c), -1) for c in coco_ids], np.int64)

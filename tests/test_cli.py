@@ -42,6 +42,7 @@ def common(dataset, tmp_path):
             "--checkpoint-dir", str(tmp_path / "ckpt")]
 
 
+@pytest.mark.slow
 def test_cli_train_eval_visualize_plot(dataset, tmp_path, capsys):
     metrics = str(tmp_path / "metrics.jsonl")
     main(["train",
@@ -116,6 +117,7 @@ def test_cli_predict(dataset, tmp_path, capsys):
     assert len(out[0]["detections"]) == 17
 
 
+@pytest.mark.slow
 def test_cli_sweep_synthetic(tmp_path, capsys):
     """One command reproduces a 2x2 mini-sweep with the records table
     (replaces the notebook's nested sweep loops, ipynb cells 6/7/9)."""

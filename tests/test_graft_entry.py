@@ -15,6 +15,7 @@ import pytest
 REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_in_process():
     """conftest already initialised the 8-device CPU backend; the call must
     work with the backend pre-initialised (no re-exec needed)."""

@@ -484,6 +484,7 @@ def test_dropout_mask_statistics():
             assert abs(agree - expected) < 0.01
 
 
+@pytest.mark.slow
 def test_flash_dropout_mean_approximates_no_dropout():
     """Inverted-scaling dropout is unbiased: averaging over many seeds
     approaches the deterministic output."""

@@ -18,6 +18,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # live multi-process gloo groups: ~400 s of the suite (round-5 tiering)
+
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "multiprocess_worker.py")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -261,6 +261,7 @@ def test_check_weights_cadence(tmp_path, caplog):
     assert all(np.isfinite(r["max_weight"]) for r in checked)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation():
     """Two properties of accumulate_steps=k:
 

@@ -676,3 +676,35 @@ def test_labels_reject_non_integral_categories():
     labels = labels_from_annotations([[2.0, 16.0, 16.0, 8.0, 8.0, 64.0]],
                                      (32, 32), cfg)
     assert labels[0, 0] == 1.0
+
+
+def test_prefetch_iter_standalone():
+    """prefetch_iter is a reusable utility (the protocol evaluator rides
+    it): order preserved, producer exceptions re-raised on the consumer
+    side, early abandonment does not deadlock the producer thread."""
+    import threading
+
+    from vision_transformer_detector_tpu.data.pipeline import prefetch_iter
+
+    assert list(prefetch_iter(iter(range(10)), depth=2)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch_iter(boom(), depth=1)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
+
+    before = threading.active_count()
+    it2 = prefetch_iter(iter(range(1000)), depth=1)
+    assert next(it2) == 0
+    it2.close()  # abandon mid-stream
+    # The producer thread must wind down (stoppable put), not pin forever.
+    import time
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before

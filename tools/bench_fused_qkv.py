@@ -11,6 +11,12 @@ Measures the headline inference config both ways WITHOUT touching the
 model code (standalone forward built from the same building blocks), to
 decide whether a config option is worth wiring.
 
+VERDICT (2026-08-20, v5e, PERFORMANCE.md round-5 note): fused measures
+43.33 ms vs 8.15 ms separate per block at 640px b128, outputs
+bit-identical — a decisive loss (the (B, H, N, 3K) intermediate's q/k/v
+slicing forces re-layouts that cost more than the lane starvation the
+fusion saves). Not wired; kept for re-testing on future XLA versions.
+
 Run on TPU: python tools/bench_fused_qkv.py
 """
 

@@ -539,3 +539,32 @@ def test_cli_benchmark_train_honors_mesh_flags(tmp_path, capsys):
         main(["benchmark", *common({}, tmp_path), "--batch-size", "6",
               "--preset", "tiny_96", "--iterations", "2",
               "--mode", "train", "--data-parallel", "8"])
+
+
+def test_cli_datasets_ship_uint8(dataset):
+    """The CLI's datasets ship uint8 batches (4x less host->device
+    traffic; the jitted train/eval steps normalize on device via
+    _maybe_normalize) — round-5 ingest lever."""
+    from vision_transformer_detector_tpu.cli import (_build_dataset,
+                                                     build_parser)
+    from vision_transformer_detector_tpu.config import get_config
+
+    args = build_parser().parse_args(
+        ["train", "--train-images", dataset["images"],
+         "--train-annotations", dataset["annotations"],
+         "--batch-size", "2", "--preset", "tiny_96"])
+    ds = _build_dataset(args, get_config("tiny_96"),
+                        dataset["images"], dataset["annotations"])
+    images, labels = next(iter(ds))
+    assert images.dtype == np.uint8
+    assert labels.dtype == np.float32
+
+    args = build_parser().parse_args(
+        ["train", "--train-images", dataset["images"],
+         "--train-annotations", dataset["annotations"],
+         "--batch-size", "2", "--preset", "tiny_96", "--resumable"])
+    rds = _build_dataset(args, get_config("tiny_96"),
+                         dataset["images"], dataset["annotations"],
+                         resumable=True)
+    images, _labels = next(iter(rds))
+    assert images.dtype == np.uint8

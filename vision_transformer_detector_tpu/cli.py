@@ -152,13 +152,20 @@ def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
                 "--on-corrupt skip is incompatible with --resumable "
                 "(the resume position is path-index arithmetic that "
                 "skip+backfill breaks)")
+        # normalize=False: the CLI's consumers are the jitted train/eval
+        # steps, whose _maybe_normalize seam fuses the [-1,1] arithmetic
+        # into the device program — shipping uint8 moves 4x less
+        # host->device traffic (35.5 -> 8.9 MB per 608px b8 batch; the
+        # round-5 protocol-eval measurement rode this from 975 to 246 s).
         return ResumableDataset(
             paths, annotations, config, batch_size=batch_size,
             shuffle=shuffle, seed=getattr(args, "seed", 0),
+            normalize=False,
             fast_decode=getattr(args, "fast_decode", False), **shard)
     return CocoDetectionDataset(
         paths, annotations, config, batch_size=batch_size,
         drop_remainder=drop_remainder, on_corrupt=on_corrupt,
+        normalize=False,
         fast_decode=getattr(args, "fast_decode", False),
         pool=getattr(args, "decode_pool", "thread"), **shard)
 

@@ -102,6 +102,25 @@ def test_retrying_probe_success_short_circuits(monkeypatch):
     assert report["count"] == 4
 
 
+def test_retrying_probe_cpu_answer_short_circuits(monkeypatch):
+    """A healthy probe that lands on the host CPU is a deterministic
+    'no accelerator' answer — no backoff retries, and the report
+    carries an explanatory error instead of a bare ok:true attempt."""
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    n = {"count": 0}
+
+    def fake(t):
+        n["count"] += 1
+        return {"ok": True, "platform": "cpu", "count": 1}
+
+    monkeypatch.setattr(runtime, "probe_device", fake)
+    report = probe_device_retrying(attempts=3, backoff_s=60.0)
+    assert report["ok"] is False
+    assert report["platform"] == "cpu"
+    assert n["count"] == 1
+    assert "host CPU" in report["attempts"][0]["error"]
+
+
 def test_retrying_probe_exhaustion_documents_all(monkeypatch):
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
     monkeypatch.setattr(

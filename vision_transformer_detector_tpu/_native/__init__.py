@@ -96,7 +96,10 @@ def build(force: bool = False, verbose: bool = False) -> dict:
     print("vision_transformer_detector_tpu: building native extensions "
           "(one-time; libjpeg decode + COCO json/matcher; "
           "VTD_NO_NATIVE_BUILD=1 skips) ...", file=sys.stderr, flush=True)
-    tmp = tempfile.mkdtemp(prefix="vtd_native_build_")
+    # Build INSIDE the package dir: os.replace is only atomic within one
+    # filesystem, and a /tmp build dir raises EXDEV on hosts where /tmp
+    # is tmpfs and the checkout is on disk (round-5 review finding).
+    tmp = tempfile.mkdtemp(prefix=".build_", dir=_PKG_DIR)
     try:
         cmd = [sys.executable, os.path.join("native", "setup.py"),
                "build_ext", "--build-lib", tmp,
@@ -112,8 +115,11 @@ def build(force: bool = False, verbose: bool = False) -> dict:
             msg = (f"exit {proc.returncode}, "
                    f"{len(produced)}/{len(_EXT_NAMES)} extensions built"
                    + (f"\n{tail}" if tail else ""))
-            with open(_STAMP, "w") as f:
-                f.write(msg)
+            try:
+                with open(_STAMP, "w") as f:
+                    f.write(msg)
+            except OSError:
+                pass  # read-only checkout: retry next import instead
             print("vision_transformer_detector_tpu: native build FAILED "
                   "— falling back to pure-Python decode/parse/matcher "
                   f"(rm {_STAMP} to retry): {msg.splitlines()[0]}",
@@ -134,4 +140,14 @@ def build(force: bool = False, verbose: bool = False) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-build()
+# Import-time build MUST degrade, never crash the package import: the
+# extensions are optional performance cores with pure-Python fallbacks,
+# and the import sites catch ImportError only. Any environmental failure
+# here (read-only checkout, exotic filesystem, missing compiler driver)
+# becomes a loud fallback instead of an unimportable package.
+try:
+    build()
+except Exception as _exc:  # noqa: BLE001 — deliberate boundary
+    print("vision_transformer_detector_tpu: native auto-build errored "
+          f"({type(_exc).__name__}: {_exc}) — running pure-Python "
+          "fallbacks", file=sys.stderr, flush=True)

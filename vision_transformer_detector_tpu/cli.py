@@ -161,7 +161,8 @@ def _build_dataset(args, config, images_arg, annotations_arg, shuffle=False,
             paths, annotations, config, batch_size=batch_size,
             shuffle=shuffle, seed=getattr(args, "seed", 0),
             normalize=False,
-            fast_decode=getattr(args, "fast_decode", False), **shard)
+            fast_decode=getattr(args, "fast_decode", False),
+            pool=getattr(args, "decode_pool", "thread"), **shard)
     return CocoDetectionDataset(
         paths, annotations, config, batch_size=batch_size,
         drop_remainder=drop_remainder, on_corrupt=on_corrupt,
@@ -256,7 +257,11 @@ def cmd_train(args) -> None:
         # 4 GiB images-only check could still OOM once training state
         # was added).
         n_images = len(train_data) * args.batch_size
-        total_bytes = (n_images * h * w * 3 * 4
+        # 1 byte/pixel: the CLI datasets ship uint8 (normalize=False
+        # above) and the scan normalizes on device per step, so the
+        # stacked residency is the uint8 stack (a 4-bytes/pixel estimate
+        # here rejected runs that actually fit — round-5 review finding).
+        total_bytes = (n_images * h * w * 3
                        + n_images * config.max_objects * 6 * 4)
         if total_bytes > 3 << 30:
             raise SystemExit(

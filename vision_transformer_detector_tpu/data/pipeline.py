@@ -71,17 +71,17 @@ class CorruptImageError(ValueError):
         # Cross-process transport (pool='process' decode): ``reason``
         # may hold an unpicklable third-party exception, and the
         # two-argument __init__ breaks default exception pickling.
-        # Rebuild via a helper that preserves the formatted message
-        # exactly.
+        # Transport the already-formatted ``args`` verbatim (no second
+        # copy of the message format to drift) with a string-backed
+        # stand-in for the reason.
         return (_rebuild_corrupt_error,
-                (self.path, type(self.reason).__name__, str(self.reason)))
+                (self.path, str(self.reason), self.args))
 
 
-def _rebuild_corrupt_error(path: str, reason_type: str,
-                           reason_str: str) -> "CorruptImageError":
+def _rebuild_corrupt_error(path: str, reason_str: str,
+                           args: tuple) -> "CorruptImageError":
     exc = CorruptImageError(path, ValueError(reason_str))
-    exc.args = (f"cannot decode image {path!r}: "
-                f"{reason_type}: {reason_str}",)
+    exc.args = args
     return exc
 
 

@@ -65,9 +65,18 @@ def probe_device_retrying(attempts: int = 3, timeout_s: float = 90.0,
         report = probe_device(timeout_s)
         report["elapsed_s"] = round(time.monotonic() - t0, 1)
         tries.append(report)
-        if report["ok"] and report.get("platform") != "cpu":
-            return {"ok": True, "platform": report["platform"],
-                    "count": report["count"], "attempts": tries,
+        if report["ok"]:
+            if report.get("platform") != "cpu":
+                return {"ok": True, "platform": report["platform"],
+                        "count": report["count"], "attempts": tries,
+                        "total_s": round(time.monotonic() - start, 1)}
+            # A healthy probe that lands on the host CPU is a
+            # DETERMINISTIC "no accelerator here" — retrying it only
+            # burns the backoff schedule (round-5 review finding).
+            # Annotate so the report reads as an answer, not a failure.
+            report["error"] = ("probe answered but on the host CPU — "
+                               "no accelerator visible")
+            return {"ok": False, "platform": "cpu", "attempts": tries,
                     "total_s": round(time.monotonic() - start, 1)}
     return {"ok": False, "attempts": tries,
             "total_s": round(time.monotonic() - start, 1)}

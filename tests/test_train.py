@@ -96,6 +96,24 @@ def test_uint8_batch_accepted():
     assert bool(jnp.all(jnp.isfinite(decoded)))
 
 
+def test_device_normalize_within_one_ulp_of_host():
+    """The documented contract of the uint8 ingest path (CLI datasets,
+    protocol eval): the jitted _maybe_normalize may compile /127.5 as
+    multiply-by-reciprocal, so device inputs can differ from
+    pipeline.normalize_image by at most 1 ulp of [-1,1] (1.2e-7) —
+    never more."""
+    from vision_transformer_detector_tpu.data.pipeline import (
+        normalize_image)
+    from vision_transformer_detector_tpu.train.trainer import (
+        _maybe_normalize)
+
+    every_byte = np.arange(256, dtype=np.uint8)
+    host = normalize_image(every_byte)
+    device = np.asarray(jax.jit(_maybe_normalize)(jnp.asarray(every_byte)))
+    assert device.dtype == np.float32
+    np.testing.assert_allclose(device, host, atol=1.2e-7, rtol=0.0)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     trainer = Trainer(TINY, LOSS, TC, checkpoint_dir=str(tmp_path))
     state = trainer.init_state()

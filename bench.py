@@ -34,7 +34,12 @@ def main() -> None:
     from vision_transformer_detector_tpu.utils.runtime import (
         probe_device_retrying)
 
-    probe = probe_device_retrying(attempts=3, timeout_s=90.0,
+    # 150 s per attempt: during the 2026-08-20 outage recovery the
+    # tunnel needed >180 s of continuous waiting before first answer
+    # (probes at 100 s and 180 s failed; 230 s succeeded), so three
+    # short attempts can all miss a cold tunnel that one long wait
+    # would catch. 3 x 150 s + backoff ~= 9 min worst case.
+    probe = probe_device_retrying(attempts=3, timeout_s=150.0,
                                   backoff_s=30.0)
     probe_ok = probe["ok"]
     print(json.dumps({"probe": probe}), flush=True)

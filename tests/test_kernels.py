@@ -593,3 +593,99 @@ def test_int8_serving_with_padded_key_dim():
     assert np.isfinite(np.asarray(quant)).all()
     # int8 is lossy but must stay in the same ballpark as fp32.
     assert float(jnp.mean(jnp.abs(quant - base))) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Fused LayerNorm (kernels/fused_ln.py) — round-5 inference lever.
+
+
+def _xla_ln(x, gamma, beta, eps=1e-3):
+    from vision_transformer_detector_tpu.models.vit_detector import (
+        _layer_norm)
+    return _layer_norm(x, {"gamma": gamma, "beta": beta}, eps=eps)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("shape", [(2, 40, 128), (3, 7, 256), (1, 1, 128)])
+def test_fused_ln_matches_xla(dtype, shape):
+    from vision_transformer_detector_tpu.kernels.fused_ln import (
+        fused_layer_norm)
+
+    key = jax.random.PRNGKey(0)
+    x = (jax.random.normal(key, shape, jnp.float32) * 3 + 1).astype(dtype)
+    gamma = jax.random.normal(jax.random.PRNGKey(1), (shape[-1],))
+    beta = jax.random.normal(jax.random.PRNGKey(2), (shape[-1],))
+    got = fused_layer_norm(x, gamma, beta)
+    want = _xla_ln(x, gamma, beta)
+    assert got.dtype == want.dtype
+    tol = 1e-5 if dtype == "float32" else 2e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=tol, rtol=tol)
+
+
+def test_fused_ln_rejects_unaligned_dim():
+    from vision_transformer_detector_tpu.kernels.fused_ln import (
+        fused_layer_norm)
+
+    with pytest.raises(ValueError, match="multiple of 128"):
+        fused_layer_norm(jnp.ones((2, 5, 28)), jnp.ones(28), jnp.zeros(28))
+
+
+def test_fused_ln_row_padding_exact():
+    """Row counts that don't fill a tile pad internally; padded rows
+    must not perturb real ones."""
+    from vision_transformer_detector_tpu.kernels.fused_ln import (
+        fused_layer_norm)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (5, 128))
+    gamma, beta = jnp.ones(128), jnp.zeros(128)
+    got = fused_layer_norm(x, gamma, beta, block_rows=4)
+    want = _xla_ln(x, gamma, beta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_ln_model_routing():
+    """The config flag routes INFERENCE only, and only for 128-aligned
+    embedding dims; training output is bit-identical to flag-off."""
+    from vision_transformer_detector_tpu.config import DetectorConfig
+    from vision_transformer_detector_tpu.models.vit_detector import (
+        forward, init_params)
+
+    cfg = DetectorConfig(
+        image_size=(64, 64), patch_size=16, embedding_dim=128,
+        num_heads=2, key_dim=64, encoder_blocks=2, encoder_mlp_layers=2,
+        head_last_units=16, head_layers=2)
+    cfg_fused = cfg.replace(use_fused_layer_norm=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3),
+                                minval=-1, maxval=1)
+    base_eval = forward(params, images, cfg, train=False)
+    fused_eval = forward(params, images, cfg_fused, train=False)
+    np.testing.assert_allclose(np.asarray(fused_eval),
+                               np.asarray(base_eval),
+                               atol=1e-4, rtol=1e-4)
+
+    # train=True must NOT route through the kernel: bit-identical to
+    # the flag-off train path (no dropout configured, so the only
+    # possible difference would be the LN implementation).
+    base_train = forward(params, images, cfg, train=True)
+    fused_train = forward(params, images, cfg_fused, train=True)
+    np.testing.assert_array_equal(np.asarray(fused_train),
+                                  np.asarray(base_train))
+
+    # Unaligned embedding dim (reference D=28): flag on falls back to
+    # XLA bit-identically instead of raising.
+    ref = DetectorConfig(
+        image_size=(68, 68), patch_size=17, embedding_dim=28,
+        num_heads=2, key_dim=5, encoder_blocks=1, encoder_mlp_layers=1,
+        head_last_units=8, head_layers=1)
+    ref_params = init_params(jax.random.PRNGKey(2), ref)
+    ref_imgs = jax.random.uniform(jax.random.PRNGKey(3), (1, 68, 68, 3),
+                                  minval=-1, maxval=1)
+    np.testing.assert_array_equal(
+        np.asarray(forward(ref_params, ref_imgs,
+                           ref.replace(use_fused_layer_norm=True),
+                           train=False)),
+        np.asarray(forward(ref_params, ref_imgs, ref, train=False)))

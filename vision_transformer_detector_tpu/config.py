@@ -91,6 +91,14 @@ class DetectorConfig:
     # inference/eval paths are untouched.
     train_use_flash_attention: Optional[bool] = None
     use_fused_ffn: bool = False        # Pallas fused dense+mish kernel
+    # Pallas single-round-trip LayerNorm at INFERENCE when the embedding
+    # dim is 128-lane aligned (kernels/fused_ln.py); training always
+    # uses XLA's differentiable LN. Off by default by measurement
+    # (round 5, v5e, b8 same-session A/B): B/16 5.86->5.93 ms, L/16
+    # 65.95->64.69 ms — XLA already fuses the LN normalize pass into
+    # its consumers, so the kernel's VMEM residency only breaks even;
+    # kept for re-testing on future XLA versions / larger shapes.
+    use_fused_layer_norm: bool = False
     remat_encoder: bool = False        # jax.checkpoint each encoder block
     # Rematerialisation policy when remat_encoder is on:
     #   None        -> save nothing, recompute the whole block (max memory

@@ -266,12 +266,24 @@ def _dense(x, layer, compute_dtype):
     return (y + layer["bias"].astype(jnp.float32)).astype(compute_dtype)
 
 
-def _layer_norm(x, layer, eps: float = 1e-3):
+def _layer_norm(x, layer, eps: float = 1e-3, config=None,
+                train: bool = True):
     """LayerNormalization over the last axis in fp32.
 
     keras LayerNormalization default epsilon is 1e-3 (vtd.py:353-357 uses
     the default).
+
+    ``config.use_fused_layer_norm`` (opt-in) routes INFERENCE through
+    the single-VMEM-round-trip Pallas kernel (kernels/fused_ln.py) when
+    the embedding dim is 128-lane aligned — same fp32 math, ~1-2 ulp
+    reduction-order difference; training keeps XLA's differentiable LN
+    (the kernel defines no VJP).
     """
+    if (config is not None
+            and getattr(config, "use_fused_layer_norm", False)
+            and not train and x.shape[-1] % 128 == 0):
+        from ..kernels.fused_ln import fused_layer_norm
+        return fused_layer_norm(x, layer["gamma"], layer["beta"], eps=eps)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
@@ -577,14 +589,14 @@ def _encoder_block(x, block, config: DetectorConfig, compute_dtype,
         else [None] * (2 + len(block["mlp"]))
 
     side = x
-    x = _layer_norm(x, block["ln1"])
+    x = _layer_norm(x, block["ln1"], config=config, train=train)
     x = _attention(x, block["mha"], config, compute_dtype,
                    dropout_rng=rngs[0], train=train, mesh=mesh,
                    window_major=window_major)
     x = x + side
 
     side = x
-    x = _layer_norm(x, block["ln2"])
+    x = _layer_norm(x, block["ln2"], config=config, train=train)
     for j, layer in enumerate(block["mlp"]):
         x = _dense_activation(x, layer, config, compute_dtype,
                               rngs[2 + j], train)

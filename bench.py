@@ -34,12 +34,13 @@ def main() -> None:
     from vision_transformer_detector_tpu.utils.runtime import (
         probe_device_retrying)
 
-    # 150 s per attempt: during the 2026-08-20 outage recovery the
-    # tunnel needed >180 s of continuous waiting before first answer
-    # (probes at 100 s and 180 s failed; 230 s succeeded), so three
-    # short attempts can all miss a cold tunnel that one long wait
-    # would catch. 3 x 150 s + backoff ~= 9 min worst case.
-    probe = probe_device_retrying(attempts=3, timeout_s=150.0,
+    # 240 s per attempt: during the 2026-08-20 outage recovery the
+    # tunnel needed >180 s of CONTINUOUS waiting before first answer
+    # (probes at 100 s and 180 s failed; 230 s succeeded), so each
+    # attempt must wait at least that long — short attempts would all
+    # miss a cold tunnel that one long wait catches. 3 x 240 s +
+    # backoff ~= 13.5 min worst case before a CPU fallback.
+    probe = probe_device_retrying(attempts=3, timeout_s=240.0,
                                   backoff_s=30.0)
     probe_ok = probe["ok"]
     print(json.dumps({"probe": probe}), flush=True)

@@ -633,17 +633,30 @@ def test_fused_ln_rejects_unaligned_dim():
 
 
 def test_fused_ln_row_padding_exact():
-    """Row counts that don't fill a tile pad internally; padded rows
-    must not perturb real ones."""
+    """Row counts that don't fill a tile pad internally (and the block
+    size equalizes over the grid, staying a multiple of the 8-sublane
+    fp32 tile); padded rows must not perturb real ones."""
     from vision_transformer_detector_tpu.kernels.fused_ln import (
         fused_layer_norm)
 
-    x = jax.random.normal(jax.random.PRNGKey(3), (5, 128))
     gamma, beta = jnp.ones(128), jnp.zeros(128)
-    got = fused_layer_norm(x, gamma, beta, block_rows=4)
-    want = _xla_ln(x, gamma, beta)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=1e-5, rtol=1e-5)
+    for rows, block_rows in ((5, 8), (20, 8), (257, 64), (1, 256)):
+        x = jax.random.normal(jax.random.PRNGKey(3), (rows, 128))
+        got = fused_layer_norm(x, gamma, beta, block_rows=block_rows)
+        want = _xla_ln(x, gamma, beta)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_fused_ln_empty_batch():
+    """A zero-row input (empty eval shard) returns empty like XLA LN
+    instead of dividing by zero at trace time."""
+    from vision_transformer_detector_tpu.kernels.fused_ln import (
+        fused_layer_norm)
+
+    x = jnp.zeros((0, 7, 128))
+    out = fused_layer_norm(x, jnp.ones(128), jnp.zeros(128))
+    assert out.shape == (0, 7, 128)
 
 
 def test_fused_ln_model_routing():

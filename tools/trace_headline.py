@@ -15,9 +15,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--out", default="/root/repo/artifacts/trace_headline")
+    parser.add_argument("--out",
+                        default=os.path.join(_REPO, "artifacts",
+                                             "trace_headline"))
     parser.add_argument("--batch-size", type=int, default=128)
     args = parser.parse_args()
 

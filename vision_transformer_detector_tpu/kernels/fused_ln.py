@@ -67,16 +67,25 @@ def fused_layer_norm(x: jnp.ndarray, gamma: jnp.ndarray,
     rows = 1
     for dim in lead:
         rows *= dim
+    if rows == 0:
+        return x  # empty batch: nothing to normalize (XLA-path parity)
     x2 = x.reshape(rows, d)
-    bm = min(block_rows, round_up(rows, 8))
-    rows_pad = round_up(rows, bm)
+    # Block rows: multiple of the 8-sublane fp32 tile (Mosaic rejects
+    # smaller second-minor dims on real hardware), then equalized over
+    # the block count so a near-empty last block doesn't waste up to
+    # bm-1 rows of compute (e.g. 1600 rows at bm=256 would pad to 1792;
+    # equalizing gives 7 x 232 = 1624).
+    bm = round_up(min(block_rows, round_up(rows, 8)), 8)
+    n_blocks = -(-rows // bm)
+    bm = round_up(-(-rows // n_blocks), 8)
+    rows_pad = n_blocks * bm
     x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, 0)))
     g2 = gamma.reshape(1, d)
     b2 = beta.reshape(1, d)
 
     out = pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
-        grid=(rows_pad // bm,),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((bm, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -400,12 +400,15 @@ def main() -> None:
                                 label="serve224"))
         print(json.dumps(rows[-1]), flush=True)
 
+    from vision_transformer_detector_tpu.data.pipeline import (
+        native_available)
     print(json.dumps({
         "summary": rows,
         "host_cores": os.cpu_count(),
         "corpus": args.corpus,
         "images_per_scenario": args.images,
         "fast_decode": args.fast_decode,
+        "decode_core": "native" if native_available() else "pil",
     }))
 
 

@@ -618,9 +618,15 @@ def _serve(args, service) -> None:
                              request_timeout=args.request_timeout,
                              max_body_bytes=args.max_body_mb * 1024 * 1024,
                              max_inflight=args.max_inflight)
+    from .data import pipeline as _pipe
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "endpoints": ["/healthz", "/stats",
-                                    "POST /predict"]}),
+                                    "POST /predict"],
+                      # Which JPEG decode core handles request payloads
+                      # (round-4 verdict #2: a silent PIL fallback looked
+                      # identical to the native path from the outside).
+                      "decode_core": ("native" if _pipe.native_available()
+                                      else "pil")}),
           flush=True)
     # Serve on a worker thread so SIGTERM/SIGINT can drive a graceful
     # stop (shutdown() must not be called from the serving thread).

@@ -684,9 +684,13 @@ class DetectionServer:
         with self._stats_lock:
             outcomes = dict(self._outcomes)
             lat = sorted(self._latencies_ms)
+        from .data.pipeline import native_available
         out = {
             "uptime_s": round(time.monotonic() - self._started, 3),
             "requests": {**outcomes, "total": sum(outcomes.values())},
+            # Which JPEG decode core handles payloads — a silent PIL
+            # fallback is otherwise invisible from the outside.
+            "decode_core": "native" if native_available() else "pil",
             "batching": (self.batcher.stats()
                          if self.batcher is not None else None),
         }
